@@ -1,0 +1,118 @@
+"""Configuration dataclasses.
+
+The reference has no config system (module constants + kwargs; SURVEY §5,
+``/root/reference/block_7_main_ver3.py:332-344``). Here every layer takes a
+frozen dataclass so configs are hashable and usable as jit static args.
+
+Canonical defaults mirror the reference flagship run
+(``block_7_main_ver3.py:332-344``): N=64, P=5 nodes, lam_tv=0.02, rho=2.0,
+max_iters=200, eps_pri=eps_dual=1e-3, noise 0.005, knn k=2, seed 123,
+q_mode="arithmetic".
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class GeometryConfig:
+    """Parallel-beam acquisition geometry.
+
+    Mirrors the reference operator builder semantics
+    (``/root/reference/block_2_load_odl_data.py:16-65``): image on
+    [-1,1]^2 with N x N pixels, ``angles_total = max(180, 3N)`` split evenly
+    over nodes (remainder to the first nodes), detector of N pixels spanning
+    width ``det_width_factor * 2.0``, angles uniform on [0, pi).
+    """
+
+    N: int = 64
+    num_nodes: int = 5
+    angles_total: Optional[int] = None  # default: max(180, 3N)
+    det_pixels: Optional[int] = None  # default: N
+    det_width_factor: float = 1.0
+    fan_beam: bool = False  # fan-beam geometry (BASELINE.json config 5)
+    src_radius: float = 4.0  # fan-beam only: source distance from center
+    det_radius: float = 4.0  # fan-beam only: detector distance from center
+
+    @property
+    def n(self) -> int:
+        return self.N * self.N
+
+    @property
+    def total_angles(self) -> int:
+        if self.angles_total is not None:
+            return self.angles_total
+        return max(180, 3 * self.N)
+
+    @property
+    def n_det(self) -> int:
+        return self.det_pixels if self.det_pixels is not None else self.N
+
+    def angles_per_node(self) -> Tuple[int, ...]:
+        """Even split with remainder to the first nodes
+        (ref ``block_2_load_odl_data.py:36-38``)."""
+        base = self.total_angles // self.num_nodes
+        rem = self.total_angles % self.num_nodes
+        return tuple(base + (1 if i < rem else 0) for i in range(self.num_nodes))
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphConfig:
+    """Per-pixel communication-graph construction (ref block_3)."""
+
+    strategy: str = "knn"  # "knn" | "mst" | "chain" | "complete"
+    k: int = 2
+    seed: int = 123
+    q_mode: str = "arithmetic"  # "arithmetic" | "harmonic"
+
+
+@dataclasses.dataclass(frozen=True)
+class NodeSolverConfig:
+    """Inexact node-subproblem solver (replaces CVXPY+SCS, ref block_5/6).
+
+    The node update minimizes
+        0.5||A_i x - b_i||^2 + lam_tv*TV(x) + (rho/2) sum_j ||x - v_ij||^2_{Q_ij}
+    via the Condat-Vu primal-dual splitting (smooth LS+quadratic part by
+    gradient, TV by its dual prox), warm-started across outer iterations.
+
+    Inexactness mirrors the reference adaptive schedule
+    (``block_6_admm_loop_ver2.py:100-108``): stationarity target
+    eps_k = eps0 / (k+1)^(1+gamma_decay); the inner loop runs in chunks of
+    ``check_every`` iterations until ||g|| <= eps_k or ``max_inner`` total.
+    """
+
+    max_inner: int = 200
+    check_every: int = 10
+    eps0: float = 2.0
+    gamma_decay: float = 0.005
+    sigma_scale: float = 1.0  # dual step scale relative to default
+    warm_start: bool = True
+    stationarity: str = "subgrad"  # "subgrad" (reference formula) | "dual"
+
+
+@dataclasses.dataclass(frozen=True)
+class AdmmConfig:
+    """Outer consensus-ADMM loop (ref ``block_6_admm_loop_ver2.py:15-20``)."""
+
+    lam_tv: float = 0.02
+    rho: float = 2.0
+    max_iters: int = 200
+    eps_pri: float = 1e-3
+    eps_dual: float = 1e-3
+    z_fusion: str = "midpoint"  # "midpoint" (executed ref) | "weighted" (eq. 2)
+    node: NodeSolverConfig = dataclasses.field(default_factory=NodeSolverConfig)
+
+
+@dataclasses.dataclass(frozen=True)
+class ProblemConfig:
+    """Top-level experiment configuration."""
+
+    geometry: GeometryConfig = dataclasses.field(default_factory=GeometryConfig)
+    graph: GraphConfig = dataclasses.field(default_factory=GraphConfig)
+    admm: AdmmConfig = dataclasses.field(default_factory=AdmmConfig)
+    noise_level: float = 0.005
+    noise_seed: int = 0
+    phantom: str = "const"  # "const" | "rand" | "shepp"
+    dtype: str = "float32"
