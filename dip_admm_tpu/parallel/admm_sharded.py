@@ -1,0 +1,155 @@
+"""Multi-device consensus ADMM: shard_map over the node mesh axis.
+
+The reference iterates nodes and edges sequentially in one process
+(``/root/reference/block_6_admm_loop_ver2.py:81``, ``:212-230``); here each
+device owns a block of graph nodes and the per-iteration edge consensus is
+*one* ``all_to_all`` collective:
+
+  each device holds proposals  a[i_loc, j] = x_i + y_{(ij), i}
+  the edge fusion needs        a[j, i]     (the neighbor's proposal)
+  -> all_to_all over the j axis transposes the (i, j) pair grid across the
+     mesh, which is exactly the minimal neighbor exchange (P_loc * P * n
+     payload per device, riding ICI within a host and DCN across hosts).
+
+Residual norms and totals reduce with ``psum``, so every shard computes the
+same convergence flag and the outer ``lax.while_loop`` stays in lockstep;
+the *inner* node solves are purely local and may run different trip counts
+per shard (the per-node inexactness of the reference).
+
+The iteration body is shared with the single-device path
+(``core.admm.admm_iteration``) — only the ``CommOps`` differ.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as PS
+
+from dip_admm_tpu.config import AdmmConfig, ProblemConfig
+from dip_admm_tpu.core import admm as core_admm
+from dip_admm_tpu.core import node_solver
+from dip_admm_tpu.core.admm import AdmmResult, AdmmState, CommOps, NodeBlockData
+from dip_admm_tpu.data.loader import Problem
+from dip_admm_tpu.ops import radon
+from dip_admm_tpu.parallel.mesh import NODE_AXIS, make_mesh, shards_for
+
+
+def _pair_transpose(axis_name: str):
+    def f(Ablk: jnp.ndarray) -> jnp.ndarray:
+        # [i_loc, j, n] -> [i_loc, j, n] holding the (j, i) values:
+        # tiled all_to_all scatters j-blocks to their owner devices and
+        # concatenates received blocks along axis 0 in device order, giving
+        # [j_global, i_loc, n]; swap back to [i_loc, j_global, n].
+        t = jax.lax.all_to_all(
+            Ablk, axis_name, split_axis=1, concat_axis=0, tiled=True
+        )
+        return jnp.swapaxes(t, 0, 1)
+
+    return f
+
+
+def _psum(axis_name: str):
+    return lambda v: jax.lax.psum(v, axis_name)
+
+
+def run_admm_sharded(
+    problem: Problem,
+    cfg: Optional[AdmmConfig] = None,
+    mesh: Optional[Mesh] = None,
+) -> AdmmResult:
+    """Consensus ADMM with graph nodes sharded over ``mesh``'s node axis.
+
+    Produces the same result/history contract as ``core.admm.run_admm``
+    (verified by the cross-device parity test on a virtual CPU mesh).
+    """
+    cfg = cfg if cfg is not None else problem.cfg.admm
+    mesh = mesh if mesh is not None else make_mesh()
+    P = problem.num_nodes
+    P_loc = shards_for(P, mesh)
+    pcfg = problem.cfg
+    dense = problem.dense
+    dtype = problem.b.dtype
+    N, n = problem.N, problem.n
+    D = pcfg.geometry.n_det
+    T = cfg.max_iters
+
+    L = problem.opnorm + cfg.rho * jnp.max(
+        jnp.sum(problem.Q, axis=1), axis=-1
+    )
+    m_valid = (jnp.sum(problem.angle_valid, axis=1) * D).astype(dtype)
+
+    node = PS(NODE_AXIS)
+    repl = PS()
+
+    def shard_body(angles, valid, A, b, Q, adjm, W_blk, W_all, L_blk, x_true):
+        if dense:
+            fwd = lambda x: jnp.einsum("pmn,pn->pm", A, x)
+            adj = lambda r: jnp.einsum("pmn,pm->pn", A, r)
+        else:
+            fwd = lambda x: jax.vmap(
+                lambda im, a, v: radon.project(pcfg.geometry, im, a, v)
+            )(x.reshape(-1, N, N), angles, valid).reshape(x.shape[0], -1)
+            adj = lambda r: jax.vmap(
+                lambda s, a, v: radon.backproject(pcfg.geometry, s, a, v)
+            )(r.reshape(r.shape[0], -1, D), angles, valid).reshape(
+                r.shape[0], -1
+            )
+
+        data = NodeBlockData(
+            fwd=fwd, adj=adj, b=b, Q=Q, adjm=adjm.astype(dtype),
+            W_own=W_blk, W_all=W_all, L=L_blk, x_true=x_true,
+            m_valid=jnp.zeros((P_loc,), dtype), N=N,
+        )
+        comm = CommOps(
+            pair_transpose=_pair_transpose(NODE_AXIS), psum=_psum(NODE_AXIS)
+        )
+        state = AdmmState(
+            node=node_solver.init_state(P_loc, N, dtype),
+            Z=jnp.zeros((P_loc, P, n), dtype),
+            Y=jnp.zeros((P_loc, P, n), dtype),
+            k=jnp.int32(0),
+            stop=jnp.asarray(False),
+        )
+        hist = core_admm.make_history(T, P_loc, dtype)
+
+        def cond(carry):
+            st, _ = carry
+            return (st.k < T) & ~st.stop
+
+        def body(carry):
+            st, h = carry
+            return core_admm.admm_iteration(data, cfg, comm, st, h)
+
+        state, hist = jax.lax.while_loop(cond, body, (state, hist))
+        return AdmmResult(
+            x=state.node.x, history=hist, n_iters=state.k, state=state
+        )
+
+    hist_specs = {
+        name: PS(None, NODE_AXIS) if per_node else repl
+        for name, per_node in core_admm.HISTORY_FIELDS
+    }
+    out_specs = AdmmResult(
+        x=node,
+        history=hist_specs,
+        n_iters=repl,
+        state=AdmmState(
+            node=node_solver.NodeState(x=node, ux=node, uy=node),
+            Z=node, Y=node, k=repl, stop=repl,
+        ),
+    )
+    in_specs = (node, node, node, node, node, node, node, repl, node, repl)
+
+    A_arg = problem.A if dense else jnp.zeros((P, 1), dtype)
+    f = jax.shard_map(
+        shard_body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(f)(
+        problem.angles, problem.angle_valid, A_arg, problem.b, problem.Q,
+        problem.adj, problem.W, problem.W, L, problem.x_true,
+    )

@@ -1,0 +1,214 @@
+"""Penalized-consensus solver with PDHG inner iterations.
+
+Capability parity with the legacy standalone solver
+``/root/reference/ADMM_Tomo_Only.py`` (SURVEY §3.3) — a *different algorithm
+family* from edge-split ADMM: no duals, instead each outer iteration
+
+  1. forms per-pixel aggregation weights eta_pj and a convex-combination
+     anchor x_a = sum_i normalized(eta) * x_i  (ref ``:100-118``; the
+     checked-in code divides column norms by |x_i - x_true| — an
+     oracle-weighted variant — with a residual-based variant commented out;
+     both are exposed here via ``anchor_weights``),
+  2. runs a few PDHG iterations per node on
+       gamma * ||x - x_a||^2 + lam_tv * ( ||A_i x - b_i||^2 + ||grad x||_{2,1} )
+     (ref ``:121-140``; note the reference scales its *entire* SeparableSum
+     g_i — data term included — by lambda_tv, which we reproduce),
+  3. runs a few PDHG iterations on the aggregate problem
+       ||A x - b||^2 + lam_agg * ||grad x||_{2,1}   (ref ``:142-148``),
+  4. records image/sinogram MSE histories (ref ``:150-168``).
+
+Everything is jitted: nodes solved as one batched PDHG (vmapped duals), the
+outer loop a ``lax.fori_loop``. Step sizes are 1/||K_i|| with ||K_i|| from a
+power method on K_i^T K_i = A_i^T A_i + grad^T grad (ref uses
+``odl.power_method_opnorm``, ``:130``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dip_admm_tpu.data.loader import Problem
+from dip_admm_tpu.ops import tv
+
+
+@dataclasses.dataclass(frozen=True)
+class PdhgConsensusConfig:
+    n_outer: int = 100  # ref niter = 100
+    lam_tv: float = 0.005  # ref lambda_penalty
+    lam_agg: float = 0.005  # ref lambda_agg
+    gamma: float = 2.0  # ref quadratic consensus penalty
+    node_pdhg_iters: int = 5  # ref :132
+    agg_pdhg_iters: int = 15  # ref :148
+    alpha_tv: float = 0.0  # lambda decay exponent (ref :28, :95)
+    anchor_weights: str = "oracle"  # "oracle" (ref :105) | "residual" (ref :102)
+
+
+class PdhgConsensusResult(NamedTuple):
+    x_nodes: jnp.ndarray  # [P, n]
+    x_agg: jnp.ndarray  # [n]
+    img_mse_nodes: jnp.ndarray  # [T, P] mean squared error (ref :136)
+    sino_mse_nodes: jnp.ndarray  # [T, P] residual norms (ref :139)
+    img_mse_agg: jnp.ndarray  # [T]
+    sino_mse_agg: jnp.ndarray  # [T]
+
+
+def _prox_conj_l2sq_translated(v, b, sigma, lam):
+    """prox_{sigma h*} for h(z) = lam * ||z - b||^2 (no 1/2 — ODL's
+    L2NormSquared convention): u = (v - sigma*b) / (1 + sigma/(2*lam))."""
+    return (v - sigma * b) / (1.0 + sigma / (2.0 * lam))
+
+
+def _estimate_K_norm(problem: Problem, iters: int = 25) -> jnp.ndarray:
+    """||K_i|| with K_i = [A_i; grad] : sqrt(||A_i^T A_i + grad^T grad||)."""
+    P, n, N = problem.num_nodes, problem.n, problem.N
+
+    def mv(x):
+        at = problem.adjoint(problem.forward(x))
+        gx, gy = tv.grad(x.reshape(P, N, N))
+        gt = tv.grad_adjoint(gx, gy).reshape(P, n)
+        return at + gt
+
+    v = jax.random.normal(jax.random.PRNGKey(11), (P, n), problem.b.dtype)
+    v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
+    lam = jnp.ones(P, problem.b.dtype)
+    for _ in range(iters):
+        w = mv(v)
+        lam = jnp.linalg.norm(w, axis=1)
+        v = w / jnp.maximum(lam[:, None], 1e-30)
+    return jnp.sqrt(lam)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def solve(problem: Problem, cfg: PdhgConsensusConfig) -> PdhgConsensusResult:
+    P, n, N = problem.num_nodes, problem.n, problem.N
+    dtype = problem.b.dtype
+    b = problem.b  # [P, m]
+    x_true = problem.x_true
+    W_cols = jnp.sqrt(problem.W)  # column norms (ref :53)
+    Knorm = _estimate_K_norm(problem)  # [P]
+    tau_n = (1.0 / Knorm)[:, None]
+    sig_n = tau_n
+    K_agg = jnp.sqrt(jnp.sum(Knorm**2))  # ||[A_1..A_P; grad]|| bound
+    tau_a, sig_a = 1.0 / K_agg, 1.0 / K_agg
+    m_node = b.shape[1]
+
+    def node_pdhg(x, ya, yg, x_a, lam_tv):
+        """Batched PDHG on gamma||x-x_a||^2 + lam*(||Ax-b||^2+||Gx||_21)."""
+
+        def step(_, carry):
+            x, xb, ya, yg = carry
+            # Dual ascent on both components at the extrapolated point.
+            ya = _prox_conj_l2sq_translated(
+                ya + sig_n * problem.forward(xb), b, sig_n, lam_tv
+            )
+            gx, gy = tv.grad(xb.reshape(P, N, N))
+            ygx, ygy = tv.project_l2_ball(
+                yg[0] + sig_n[..., None] * gx,
+                yg[1] + sig_n[..., None] * gy,
+                lam_tv,
+            )
+            # Primal descent + prox of gamma||x - x_a||^2.
+            kty = problem.adjoint(ya) + tv.grad_adjoint(ygx, ygy).reshape(P, n)
+            w = x - tau_n * kty
+            x_new = (w + 2.0 * tau_n * cfg.gamma * x_a) / (
+                1.0 + 2.0 * tau_n * cfg.gamma
+            )
+            xb = 2.0 * x_new - x
+            return x_new, xb, ya, (ygx, ygy)
+
+        x, _, ya, yg = jax.lax.fori_loop(
+            0, cfg.node_pdhg_iters, step, (x, x, ya, yg)
+        )
+        return x, ya, yg
+
+    def agg_pdhg(x, ya, yg):
+        """PDHG on sum_i ||A_i x - b_i||^2 + lam_agg ||Gx||_21 (f == 0)."""
+
+        def step(_, carry):
+            x, xb, ya, yg = carry
+            xs = jnp.broadcast_to(xb[None, :], (P, n))
+            ya = _prox_conj_l2sq_translated(
+                ya + sig_a * problem.forward(xs), b, sig_a, 1.0
+            )
+            gx, gy = tv.grad(xb.reshape(N, N))
+            ygx, ygy = tv.project_l2_ball(
+                yg[0] + sig_a * gx, yg[1] + sig_a * gy, cfg.lam_agg
+            )
+            kty = jnp.sum(problem.adjoint(ya), axis=0) + tv.grad_adjoint(
+                ygx, ygy
+            ).reshape(n)
+            x_new = x - tau_a * kty  # f = ZeroFunctional (ref :78)
+            xb = 2.0 * x_new - x
+            return x_new, xb, ya, (ygx, ygy)
+
+        x, _, ya, yg = jax.lax.fori_loop(
+            0, cfg.agg_pdhg_iters, step, (x, x, ya, yg)
+        )
+        return x, ya, yg
+
+    def outer(k, carry):
+        x, ya, yg, xa_state, hists = carry
+        x_agg, ya_a, yg_a = xa_state
+
+        lam_tv = cfg.lam_tv * jnp.exp(cfg.alpha_tv * k)  # ref :95
+
+        # Anchor weights (ref :100-113).
+        if cfg.anchor_weights == "oracle":
+            denom = jnp.abs(x - x_true[None, :]) + 1e-8  # ref :105-106
+            eta = W_cols / denom
+        else:
+            sino_err = jnp.linalg.norm(
+                problem.forward(x) - b, axis=1, keepdims=True
+            )
+            eta = W_cols / (sino_err + 1e-8)  # ref :102 (commented variant)
+        eta_norm = eta / (jnp.sum(eta, axis=0, keepdims=True) + 1e-8)
+        x_a = jnp.sum(eta_norm * x, axis=0)  # [n], ref :116-118
+        x_a = jnp.broadcast_to(x_a[None, :], (P, n))
+
+        x, ya, yg = node_pdhg(x, ya, yg, x_a, lam_tv)
+        x_agg, ya_a, yg_a = agg_pdhg(x_agg, ya_a, yg_a)
+
+        # Histories (ref :134-161).
+        img_mse = jnp.mean((x - x_true[None, :]) ** 2, axis=1)
+        sino_mse = jnp.linalg.norm(problem.forward(x) - b, axis=1)
+        agg_img = jnp.mean((x_agg - x_true) ** 2)
+        xs = jnp.broadcast_to(x_agg[None, :], (P, n))
+        agg_sino = jnp.linalg.norm((problem.forward(xs) - b).reshape(-1))
+
+        h_img, h_sino, h_ai, h_as = hists
+        hists = (
+            h_img.at[k].set(img_mse),
+            h_sino.at[k].set(sino_mse),
+            h_ai.at[k].set(agg_img),
+            h_as.at[k].set(agg_sino),
+        )
+        return x, ya, yg, (x_agg, ya_a, yg_a), hists
+
+    x0 = jnp.zeros((P, n), dtype)
+    ya0 = jnp.zeros((P, m_node), dtype)
+    yg0 = (jnp.zeros((P, N, N), dtype), jnp.zeros((P, N, N), dtype))
+    agg0 = (
+        jnp.zeros((n,), dtype),
+        jnp.zeros((P, m_node), dtype),
+        (jnp.zeros((N, N), dtype), jnp.zeros((N, N), dtype)),
+    )
+    T = cfg.n_outer
+    hists0 = (
+        jnp.zeros((T, P), dtype),
+        jnp.zeros((T, P), dtype),
+        jnp.zeros((T,), dtype),
+        jnp.zeros((T,), dtype),
+    )
+    x, ya, yg, (x_agg, _, _), hists = jax.lax.fori_loop(
+        0, T, outer, (x0, ya0, yg0, agg0, hists0)
+    )
+    return PdhgConsensusResult(
+        x_nodes=x, x_agg=x_agg,
+        img_mse_nodes=hists[0], sino_mse_nodes=hists[1],
+        img_mse_agg=hists[2], sino_mse_agg=hists[3],
+    )

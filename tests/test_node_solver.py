@@ -1,0 +1,123 @@
+"""Node-subproblem solver correctness oracles.
+
+Mirrors the reference's degenerate-centralized solver test
+(``/root/reference/test_block5_with_aggregate.py``): with no TV the node
+update has a closed form (ridge); with TV we cross-check two independent
+algorithms (Condat-Vu vs proximal gradient with Chambolle TV prox).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dip_admm_tpu.config import NodeSolverConfig
+from dip_admm_tpu.core import node_solver
+from dip_admm_tpu.ops import linalg, tv
+
+
+def _random_problem(P=2, m=40, n_side=8, seed=0):
+    rng = np.random.default_rng(seed)
+    n = n_side * n_side
+    A = jnp.asarray(rng.normal(size=(P, m, n)).astype(np.float32)) / np.sqrt(m)
+    x_star = jnp.asarray(rng.normal(size=(P, n)).astype(np.float32))
+    b = jnp.einsum("pmn,pn->pm", A, x_star)
+    fwd = lambda x: jnp.einsum("pmn,pn->pm", A, x)
+    adj = lambda r: jnp.einsum("pmn,pm->pn", A, r)
+    opnorm = jnp.stack(
+        [
+            linalg.power_method(
+                lambda v, Ai=A[i]: Ai.T @ (Ai @ v), (n,), iters=50, seed=i
+            )
+            for i in range(P)
+        ]
+    )
+    return A, b, fwd, adj, opnorm, n_side
+
+
+def test_ridge_oracle_no_tv():
+    # lam_tv = 0, quadratic coupling D = mu*ones, b_cons = 0:
+    # minimizer is (A^T A + rho*mu I)^{-1} A^T b.
+    A, b, fwd, adj, opnorm, N = _random_problem()
+    P, m, n = A.shape
+    mu, rho = 0.5, 2.0
+    D_vec = jnp.full((P, n), mu)
+    cfg = NodeSolverConfig(max_inner=4000, check_every=50)
+    L = opnorm + rho * mu
+    res = node_solver.solve_nodes(
+        fwd, adj, b, D_vec, jnp.zeros((P, n)), jnp.zeros(P),
+        0.0, rho, L, node_solver.init_state(P, N), jnp.asarray(1e-5), cfg, N,
+    )
+    for i in range(P):
+        expected = np.asarray(linalg.ridge_solve(A[i], b[i], rho * mu))
+        np.testing.assert_allclose(
+            np.asarray(res.state.x[i]), expected, rtol=2e-3, atol=2e-3
+        )
+
+
+def _fista_tv_reference(A, b, D_vec, b_cons, lam_tv, rho, L, N, iters=3000):
+    """Independent oracle: FISTA with exact-ish TV prox (Chambolle)."""
+    n = A.shape[1]
+    step = 1.0 / float(L)
+
+    def body(_, carry):
+        x, z, t = carry
+        g = A.T @ (A @ z - b) + rho * (D_vec * z - b_cons)
+        w = (z - step * g).reshape(N, N)
+        x_new, _ = tv.tv_prox_chambolle(w, weight=step * lam_tv, n_iters=40)
+        x_new = x_new.reshape(-1)
+        t_new = 0.5 * (1 + jnp.sqrt(1 + 4 * t * t))
+        z = x_new + ((t - 1) / t_new) * (x_new - x)
+        return x_new, z, t_new
+
+    x0 = jnp.zeros(n)
+    x, _, _ = jax.jit(
+        lambda: jax.lax.fori_loop(0, iters, body, (x0, x0, jnp.float32(1.0)))
+    )()
+    return x
+
+
+def test_tv_cross_algorithm_agreement():
+    A, b, fwd, adj, opnorm, N = _random_problem(P=1, m=48, n_side=8, seed=1)
+    P, m, n = A.shape
+    lam_tv, rho, mu = 0.05, 1.0, 0.3
+    D_vec = jnp.full((P, n), mu)
+    b_cons = jnp.zeros((P, n))
+    L = opnorm + rho * mu
+    cfg = NodeSolverConfig(max_inner=6000, check_every=100)
+    res = node_solver.solve_nodes(
+        fwd, adj, b, D_vec, b_cons, jnp.zeros(P), lam_tv, rho, L,
+        node_solver.init_state(P, N), jnp.asarray(1e-6), cfg, N,
+    )
+    x_fista = _fista_tv_reference(
+        A[0], b[0], D_vec[0], b_cons[0], lam_tv, rho, float(L[0]), N, iters=800
+    )
+
+    def objective(x):
+        r = A[0] @ x - b[0]
+        quad = 0.5 * rho * jnp.sum(D_vec[0] * x * x)
+        return 0.5 * jnp.sum(r * r) + lam_tv * tv.tv_value(x.reshape(N, N)) + quad
+
+    o_cv = float(objective(res.state.x[0]))
+    o_fi = float(objective(x_fista))
+    # Both algorithms reach the same optimum (objective agreement to 0.1%).
+    assert abs(o_cv - o_fi) <= 1e-3 * max(abs(o_fi), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(res.state.x[0]), np.asarray(x_fista), atol=5e-2
+    )
+
+
+def test_warm_start_reduces_iterations():
+    A, b, fwd, adj, opnorm, N = _random_problem(P=2, seed=2)
+    P, m, n = A.shape
+    D_vec = jnp.full((P, n), 0.4)
+    cfg = NodeSolverConfig(max_inner=5000, check_every=20)
+    L = opnorm + 1.0 * 0.4
+    args = (fwd, adj, b, D_vec, jnp.zeros((P, n)), jnp.zeros(P), 0.01, 1.0, L)
+    cold = node_solver.solve_nodes(
+        *args, node_solver.init_state(P, N), jnp.asarray(1e-4), cfg, N
+    )
+    warm = node_solver.solve_nodes(
+        *args, cold.state, jnp.asarray(1e-4), cfg, N
+    )
+    assert int(warm.inner_iters) <= int(cold.inner_iters)
+    assert float(jnp.max(warm.g_norm)) <= 1e-4 * 1.5

@@ -1,0 +1,96 @@
+"""Multi-device parity: the shard_map consensus loop must reproduce the
+single-device loop exactly (same collectives math, different transport),
+on a virtual 8-device CPU mesh (conftest forces 8 host devices)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dip_admm_tpu.config import (
+    AdmmConfig,
+    GeometryConfig,
+    GraphConfig,
+    NodeSolverConfig,
+    ProblemConfig,
+)
+from dip_admm_tpu.core import admm
+from dip_admm_tpu.data import loader
+from dip_admm_tpu.parallel import admm_sharded, mesh as meshlib
+
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs >=4 virtual devices"
+)
+
+
+def make_problem(P=4, N=12):
+    cfg = ProblemConfig(
+        geometry=GeometryConfig(N=N, num_nodes=P, angles_total=4 * P),
+        graph=GraphConfig(strategy="knn", k=1, seed=123),
+        admm=AdmmConfig(
+            lam_tv=0.02, rho=2.0, max_iters=6,
+            eps_pri=1e-8, eps_dual=1e-8,
+            node=NodeSolverConfig(max_inner=60, check_every=20),
+        ),
+        noise_level=0.005,
+        phantom="const",
+    )
+    return loader.build_problem(cfg)
+
+
+def test_pair_transpose_matches_local():
+    problem = make_problem(P=8, N=8)
+    m = meshlib.make_mesh(4)
+    A = jnp.arange(8 * 8 * 3, dtype=jnp.float32).reshape(8, 8, 3)
+
+    def body(blk):
+        return admm_sharded._pair_transpose(meshlib.NODE_AXIS)(blk)
+
+    from jax.sharding import PartitionSpec as PS
+
+    out = jax.jit(
+        jax.shard_map(
+            body, mesh=m,
+            in_specs=PS(meshlib.NODE_AXIS),
+            out_specs=PS(meshlib.NODE_AXIS),
+            check_vma=False,
+        )
+    )(A)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(A.swapaxes(0, 1)))
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_sharded_matches_single_device(n_dev):
+    problem = make_problem(P=4)
+    ref = admm.run_admm(problem)
+    m = meshlib.make_mesh(n_dev)
+    got = admm_sharded.run_admm_sharded(problem, mesh=m)
+    assert int(got.n_iters) == int(ref.n_iters)
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x), rtol=2e-4, atol=2e-4
+    )
+    for name in ("primal", "dual", "obj_total", "img_mse_total"):
+        np.testing.assert_allclose(
+            np.asarray(got.history[name]),
+            np.asarray(ref.history[name]),
+            rtol=2e-3, atol=1e-5,
+        )
+    np.testing.assert_allclose(
+        np.asarray(got.history["pri_per_node"]),
+        np.asarray(ref.history["pri_per_node"]),
+        rtol=2e-3, atol=1e-5,
+    )
+
+
+def test_sharded_matrix_free():
+    problem = make_problem(P=4)
+    free = dataclasses.replace(problem, dense=False, A=None)
+    m = meshlib.make_mesh(4)
+    got = admm_sharded.run_admm_sharded(free, mesh=m)
+    ref = admm.run_admm(problem)
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x), rtol=1e-3, atol=1e-3
+    )
