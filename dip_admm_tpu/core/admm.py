@@ -36,6 +36,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dip_admm_tpu.config import AdmmConfig
 from dip_admm_tpu.core import node_solver
@@ -50,11 +51,13 @@ class CommOps(NamedTuple):
 
     pair_transpose: Callable[[jnp.ndarray], jnp.ndarray]
     psum: Callable[[jnp.ndarray], jnp.ndarray]
+    any_reduce: Callable[[jnp.ndarray], jnp.ndarray]  # cross-shard boolean OR
 
 
 LOCAL_COMM = CommOps(
     pair_transpose=lambda M: jnp.swapaxes(M, 0, 1),
     psum=lambda v: v,
+    any_reduce=lambda v: v,
 )
 
 
@@ -137,6 +140,7 @@ def admm_iteration(
     res = node_solver.solve_nodes(
         data.fwd, data.adj, data.b, D_vec, b_cons, c_quad,
         cfg.lam_tv, cfg.rho, data.L, nstate, eps_k, cfg.node, data.N,
+        any_reduce=comm.any_reduce,
     )
     Xn = res.state.x
 
@@ -231,22 +235,10 @@ class AdmmResult(NamedTuple):
     state: AdmmState
 
 
-def run_admm(problem: Problem, cfg: AdmmConfig | None = None) -> AdmmResult:
-    """Single-device (or single-shard) consensus ADMM driver."""
-    cfg = cfg if cfg is not None else problem.cfg.admm
-    return _run_admm_jit(problem, cfg)
-
-
-@functools.partial(jax.jit, static_argnums=1)
-def _run_admm_jit(problem: Problem, cfg: AdmmConfig) -> AdmmResult:
+def init_state(problem: Problem, cfg: AdmmConfig) -> tuple[AdmmState, dict]:
+    """Fresh loop state + history buffers (also the checkpoint payload)."""
     dtype = problem.b.dtype
     P, n, N = problem.num_nodes, problem.n, problem.N
-    data = _block_data(problem, dtype)
-    # Lipschitz: ||A^T A|| + rho * max_p sum_j Q_ij[p].
-    data = data._replace(
-        L=problem.opnorm + cfg.rho * jnp.max(jnp.sum(problem.Q, axis=1), axis=-1)
-    )
-
     state = AdmmState(
         node=node_solver.init_state(P, N, dtype),
         Z=jnp.zeros((P, P, n), dtype),
@@ -254,11 +246,47 @@ def _run_admm_jit(problem: Problem, cfg: AdmmConfig) -> AdmmResult:
         k=jnp.int32(0),
         stop=jnp.asarray(False),
     )
-    hist = make_history(cfg.max_iters, P, dtype)
+    return state, make_history(cfg.max_iters, P, dtype)
+
+
+def run_admm(
+    problem: Problem,
+    cfg: AdmmConfig | None = None,
+    state: AdmmState | None = None,
+    hist: dict | None = None,
+    until: int | None = None,
+) -> AdmmResult:
+    """Single-device (or single-shard) consensus ADMM driver.
+
+    Resumable: pass the ``state``/``history`` of a previous (possibly
+    partial) run to continue from iteration ``state.k`` — the TPU-native
+    equivalent of the reference's chunked warm-started solves
+    (``block_6_admm_loop.py:14-69``) and the basis for checkpoint/resume.
+    ``until`` caps this call's final outer iteration (default
+    ``cfg.max_iters``).
+    """
+    cfg = cfg if cfg is not None else problem.cfg.admm
+    if state is None:
+        state, hist = init_state(problem, cfg)
+    assert hist is not None
+    until = cfg.max_iters if until is None else min(until, cfg.max_iters)
+    return _run_admm_jit(problem, cfg, state, hist, until)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 4))
+def _run_admm_jit(
+    problem: Problem, cfg: AdmmConfig, state: AdmmState, hist: dict, until: int
+) -> AdmmResult:
+    dtype = problem.b.dtype
+    data = _block_data(problem, dtype)
+    # Lipschitz: ||A^T A|| + rho * max_p sum_j Q_ij[p].
+    data = data._replace(
+        L=problem.opnorm + cfg.rho * jnp.max(jnp.sum(problem.Q, axis=1), axis=-1)
+    )
 
     def cond(carry):
         st, _ = carry
-        return (st.k < cfg.max_iters) & ~st.stop
+        return (st.k < until) & ~st.stop
 
     def body(carry):
         st, h = carry
@@ -266,3 +294,65 @@ def _run_admm_jit(problem: Problem, cfg: AdmmConfig) -> AdmmResult:
 
     state, hist = jax.lax.while_loop(cond, body, (state, hist))
     return AdmmResult(x=state.node.x, history=hist, n_iters=state.k, state=state)
+
+
+def run_admm_snapshots(
+    problem: Problem,
+    cfg: AdmmConfig | None = None,
+    snapshot_dir: str | None = None,
+    snapshot_every: int | None = None,
+    snapshot_div: int = 10,
+) -> AdmmResult:
+    """Run with periodic host-side snapshots of every node's reconstruction
+    (ref ``block_6_admm_loop_ver2.py:28-32``, ``:269-281``): the jitted loop
+    executes in ``snapshot_every``-iteration segments and the images are
+    written between segments (.npy + .png)."""
+    from dip_admm_tpu.utils import artifacts  # lazy: pulls matplotlib
+
+    cfg = cfg if cfg is not None else problem.cfg.admm
+    if snapshot_every is None:
+        snapshot_every = max(1, cfg.max_iters // snapshot_div)
+    state, hist = init_state(problem, cfg)
+    res = None
+    while True:
+        upto = min(int(state.k) + snapshot_every, cfg.max_iters)
+        res = run_admm(problem, cfg, state, hist, until=upto)
+        state, hist = res.state, res.history
+        if snapshot_dir is not None:
+            artifacts.save_recons(
+                np.asarray(res.x), problem.N, snapshot_dir,
+                f"iter_{int(state.k):04d}",
+            )
+        if bool(state.stop) or int(state.k) >= cfg.max_iters:
+            break
+    return res
+
+
+def run_admm_batched(
+    problem: Problem,
+    b_batch: jnp.ndarray,
+    x_true_batch: jnp.ndarray | None = None,
+    cfg: AdmmConfig | None = None,
+) -> AdmmResult:
+    """Scenario batching: solve the same operator/graph against a batch of
+    sinogram sets (vmapped whole-run; BASELINE.json config 4 — the
+    reference's multi-phantom lists are solved one at a time,
+    ``block_2_load_odl_data.py:134-145``).
+
+    b_batch: [B, P, m]; x_true_batch: [B, n] (defaults to the problem's).
+    Returns an AdmmResult with a leading batch axis on every array.
+    """
+    import dataclasses as _dc
+
+    cfg = cfg if cfg is not None else problem.cfg.admm
+    if x_true_batch is None:
+        x_true_batch = jnp.broadcast_to(
+            problem.x_true[None], (b_batch.shape[0],) + problem.x_true.shape
+        )
+
+    def one(b, x_true):
+        prob = _dc.replace(problem, b=b, x_true=x_true)
+        state, hist = init_state(prob, cfg)
+        return _run_admm_jit(prob, cfg, state, hist, cfg.max_iters)
+
+    return jax.vmap(one)(b_batch, x_true_batch)

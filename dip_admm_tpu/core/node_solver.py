@@ -79,6 +79,10 @@ def solve_nodes(
     eps_k: jnp.ndarray,  # scalar adaptive stationarity target
     cfg: NodeSolverConfig,
     N: int,
+    any_reduce=None,  # cross-shard OR for the continue flag (mesh pmax);
+    # None = this shard's nodes only. Passing the mesh reduction makes every
+    # shard run the same inner trip count — exact parity with the
+    # single-device batched solve, at one scalar collective per check.
 ) -> NodeSolveResult:
     P = b.shape[0]
     dtype = state.x.dtype
@@ -107,19 +111,23 @@ def solve_nodes(
         ux, uy = tv.project_l2_ball(ux + sig_im * gx, uy + sig_im * gy, lam_tv)
         return NodeState(x_new, ux, uy)
 
+    if any_reduce is None:
+        any_reduce = lambda v: v
+
     def cond(carry):
-        st, k, g_norm = carry
-        return (k < cfg.max_inner) & jnp.any(g_norm > eps_k)
+        st, k, g_norm, active = carry
+        return (k < cfg.max_inner) & active
 
     def body(carry):
-        st, k, _ = carry
+        st, k, _, _ = carry
         st = jax.lax.fori_loop(0, cfg.check_every, cv_step, st)
         g_norm = jnp.linalg.norm(g_residual(st.x), axis=1)
-        return st, k + cfg.check_every, g_norm
+        active = any_reduce(jnp.any(g_norm > eps_k))
+        return st, k + cfg.check_every, g_norm, active
 
     g0 = jnp.full((P,), jnp.inf, dtype)
-    st, k_used, g_norm = jax.lax.while_loop(
-        cond, body, (state, jnp.int32(0), g0)
+    st, k_used, g_norm, _ = jax.lax.while_loop(
+        cond, body, (state, jnp.int32(0), g0, jnp.asarray(True))
     )
     # If the loop never ran (already accepted), g0 is stale — recompute.
     g_norm = jnp.where(

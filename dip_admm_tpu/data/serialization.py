@@ -1,0 +1,133 @@
+"""Operator persistence and run checkpoint/resume.
+
+The reference persists operators as pickles
+(``/root/reference/block_2_load_odl_data.py:198-201``, consumed by
+``block_2_test.py:28-42``) and has *no* mid-run resume (SURVEY §5). Here:
+
+- ``save_problem`` / ``load_problem``: the full Problem (operators, data,
+  graph) as a portable ``.npz`` + JSON config — the pickle-free equivalent of
+  ``saved_operators_Incmp_Span/``.
+- ``save_checkpoint`` / ``load_checkpoint``: the complete ADMM loop state
+  ``(x, TV duals, z, y, k, histories)`` enabling exact resume — combined with
+  ``core.admm.run_admm(state=..., hist=...)`` a run continues bit-for-bit
+  where it stopped.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from dip_admm_tpu.config import (
+    AdmmConfig,
+    GeometryConfig,
+    GraphConfig,
+    NodeSolverConfig,
+    ProblemConfig,
+)
+from dip_admm_tpu.core.admm import AdmmState
+from dip_admm_tpu.core.node_solver import NodeState
+from dip_admm_tpu.data.loader import Problem
+
+
+def _cfg_to_json(cfg: ProblemConfig) -> str:
+    return json.dumps(dataclasses.asdict(cfg))
+
+
+def _cfg_from_json(s: str) -> ProblemConfig:
+    d = json.loads(s)
+    return ProblemConfig(
+        geometry=GeometryConfig(**d["geometry"]),
+        graph=GraphConfig(**d["graph"]),
+        admm=AdmmConfig(
+            **{**d["admm"], "node": NodeSolverConfig(**d["admm"]["node"])}
+        ),
+        **{
+            k: v
+            for k, v in d.items()
+            if k not in ("geometry", "graph", "admm")
+        },
+    )
+
+
+def save_problem(problem: Problem, path: str) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    arrays = {
+        "angles": problem.angles,
+        "angle_valid": problem.angle_valid,
+        "b": problem.b,
+        "W": problem.W,
+        "Q": problem.Q,
+        "keep": problem.keep,
+        "adj": problem.adj,
+        "x_true": problem.x_true,
+        "opnorm": problem.opnorm,
+    }
+    if problem.A is not None:
+        arrays["A"] = problem.A
+    np.savez_compressed(
+        path,
+        __cfg__=np.frombuffer(_cfg_to_json(problem.cfg).encode(), dtype=np.uint8),
+        __dense__=np.asarray(problem.dense),
+        **{k: np.asarray(v) for k, v in arrays.items()},
+    )
+
+
+def load_problem(path: str) -> Problem:
+    z = np.load(path)
+    cfg = _cfg_from_json(bytes(z["__cfg__"]).decode())
+    dense = bool(z["__dense__"])
+    return Problem(
+        cfg=cfg,
+        dense=dense,
+        angles=jnp.asarray(z["angles"]),
+        angle_valid=jnp.asarray(z["angle_valid"]),
+        A=jnp.asarray(z["A"]) if "A" in z.files else None,
+        b=jnp.asarray(z["b"]),
+        W=jnp.asarray(z["W"]),
+        Q=jnp.asarray(z["Q"]),
+        keep=jnp.asarray(z["keep"]),
+        adj=jnp.asarray(z["adj"]),
+        x_true=jnp.asarray(z["x_true"]),
+        opnorm=jnp.asarray(z["opnorm"]),
+    )
+
+
+def save_checkpoint(path: str, state: AdmmState, hist: dict) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez_compressed(
+        path,
+        x=np.asarray(state.node.x),
+        ux=np.asarray(state.node.ux),
+        uy=np.asarray(state.node.uy),
+        Z=np.asarray(state.Z),
+        Y=np.asarray(state.Y),
+        k=np.asarray(state.k),
+        stop=np.asarray(state.stop),
+        **{f"hist_{k}": np.asarray(v) for k, v in hist.items()},
+    )
+
+
+def load_checkpoint(path: str) -> tuple[AdmmState, dict]:
+    z = np.load(path)
+    state = AdmmState(
+        node=NodeState(
+            x=jnp.asarray(z["x"]),
+            ux=jnp.asarray(z["ux"]),
+            uy=jnp.asarray(z["uy"]),
+        ),
+        Z=jnp.asarray(z["Z"]),
+        Y=jnp.asarray(z["Y"]),
+        k=jnp.asarray(z["k"]),
+        stop=jnp.asarray(z["stop"]),
+    )
+    hist = {
+        k[len("hist_"):]: jnp.asarray(z[k])
+        for k in z.files
+        if k.startswith("hist_")
+    }
+    return state, hist

@@ -105,7 +105,11 @@ def run_admm_sharded(
             m_valid=jnp.zeros((P_loc,), dtype), N=N,
         )
         comm = CommOps(
-            pair_transpose=_pair_transpose(NODE_AXIS), psum=_psum(NODE_AXIS)
+            pair_transpose=_pair_transpose(NODE_AXIS),
+            psum=_psum(NODE_AXIS),
+            any_reduce=lambda v: jax.lax.pmax(
+                v.astype(jnp.int32), NODE_AXIS
+            ).astype(bool),
         )
         state = AdmmState(
             node=node_solver.init_state(P_loc, N, dtype),

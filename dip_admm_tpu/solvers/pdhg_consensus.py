@@ -93,7 +93,23 @@ def solve(problem: Problem, cfg: PdhgConsensusConfig) -> PdhgConsensusResult:
     Knorm = _estimate_K_norm(problem)  # [P]
     tau_n = (1.0 / Knorm)[:, None]
     sig_n = tau_n
-    K_agg = jnp.sqrt(jnp.sum(Knorm**2))  # ||[A_1..A_P; grad]|| bound
+
+    # ||K_agg|| for K_agg = [A_1; ..; A_P; grad] via power method on
+    # sum_i A_i^T A_i + grad^T grad (ref power_method_opnorm at :145).
+    def agg_mv(v):
+        vs = jnp.broadcast_to(v[None, :], (P, n))
+        at = jnp.sum(problem.adjoint(problem.forward(vs)), axis=0)
+        gx, gy = tv.grad(v.reshape(N, N))
+        return at + tv.grad_adjoint(gx, gy).reshape(n)
+
+    va = jax.random.normal(jax.random.PRNGKey(12), (n,), dtype)
+    va = va / jnp.linalg.norm(va)
+    lam_a = jnp.asarray(1.0, dtype)
+    for _ in range(25):
+        wa = agg_mv(va)
+        lam_a = jnp.linalg.norm(wa)
+        va = wa / jnp.maximum(lam_a, 1e-30)
+    K_agg = jnp.sqrt(lam_a)
     tau_a, sig_a = 1.0 / K_agg, 1.0 / K_agg
     m_node = b.shape[1]
 

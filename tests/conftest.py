@@ -2,12 +2,15 @@
 
 Multi-chip sharding paths (shard_map over the node mesh axis) are exercised
 on a simulated 8-device CPU mesh, per the project test strategy (SURVEY §4).
-Must set the env vars before jax initializes a backend.
+
+Note: this environment pre-sets the ``jax_platforms`` config (not just the
+env var) to prefer the TPU plugin, so we must override the config object
+itself before any backend initialization.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +20,8 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert len(jax.devices()) == 8, jax.devices()

@@ -1,0 +1,96 @@
+"""Persistence: problem save/load round-trip and exact checkpoint/resume."""
+
+import dataclasses
+
+import numpy as np
+
+from dip_admm_tpu.config import (
+    AdmmConfig,
+    GeometryConfig,
+    GraphConfig,
+    NodeSolverConfig,
+    ProblemConfig,
+)
+from dip_admm_tpu.core import admm
+from dip_admm_tpu.data import loader, serialization
+
+
+def _cfg(max_iters=8):
+    return ProblemConfig(
+        geometry=GeometryConfig(N=12, num_nodes=3, angles_total=18),
+        graph=GraphConfig(strategy="knn", k=1, seed=123),
+        admm=AdmmConfig(
+            lam_tv=0.02, rho=2.0, max_iters=max_iters,
+            eps_pri=1e-9, eps_dual=1e-9,
+            node=NodeSolverConfig(max_inner=40, check_every=20),
+        ),
+        phantom="const",
+    )
+
+
+def test_problem_roundtrip(tmp_path):
+    problem = loader.build_problem(_cfg())
+    path = str(tmp_path / "problem.npz")
+    serialization.save_problem(problem, path)
+    loaded = serialization.load_problem(path)
+    assert loaded.cfg == problem.cfg
+    assert loaded.dense == problem.dense
+    np.testing.assert_array_equal(np.asarray(loaded.b), np.asarray(problem.b))
+    np.testing.assert_array_equal(np.asarray(loaded.Q), np.asarray(problem.Q))
+    res_a = admm.run_admm(problem)
+    res_b = admm.run_admm(loaded)
+    np.testing.assert_allclose(np.asarray(res_a.x), np.asarray(res_b.x))
+
+
+def test_checkpoint_resume_exact(tmp_path):
+    problem = loader.build_problem(_cfg(max_iters=8))
+    cfg = problem.cfg.admm
+
+    # Full run in one go.
+    full = admm.run_admm(problem)
+
+    # Run 4 iterations, checkpoint, reload, continue to 8.
+    part = admm.run_admm(problem, until=4)
+    path = str(tmp_path / "ckpt.npz")
+    serialization.save_checkpoint(path, part.state, part.history)
+    state, hist = serialization.load_checkpoint(path)
+    assert int(state.k) == 4
+    resumed = admm.run_admm(problem, cfg, state=state, hist=hist)
+
+    assert int(resumed.n_iters) == int(full.n_iters) == 8
+    np.testing.assert_allclose(
+        np.asarray(resumed.x), np.asarray(full.x), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed.history["primal"]),
+        np.asarray(full.history["primal"]),
+        rtol=1e-5,
+    )
+
+
+def test_batched_scenarios():
+    problem = loader.build_problem(_cfg(max_iters=4))
+    import jax.numpy as jnp
+
+    B = 3
+    b_batch = jnp.stack([problem.b * (1.0 + 0.01 * i) for i in range(B)])
+    res = admm.run_admm_batched(problem, b_batch)
+    assert res.x.shape == (B, 3, 144)
+    assert res.history["primal"].shape == (B, 4)
+    # Batch element 0 matches the unbatched run.
+    single = admm.run_admm(problem)
+    np.testing.assert_allclose(
+        np.asarray(res.x[0]), np.asarray(single.x), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_snapshots(tmp_path):
+    problem = loader.build_problem(_cfg(max_iters=6))
+    res = admm.run_admm_snapshots(
+        problem, snapshot_dir=str(tmp_path), snapshot_every=2
+    )
+    assert int(res.n_iters) == 6
+    files = sorted(p.name for p in tmp_path.glob("*.npy"))
+    # Snapshots at iterations 2, 4, 6 for each of 3 nodes.
+    assert len(files) == 9
+    assert files[0].startswith("iter_0002_")
