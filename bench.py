@@ -59,7 +59,7 @@ def measure_tpu_throughput(N=256, P=8, timed_iters=20, dtype="float32"):
         dtype=dtype,
     )
     build_start = time.perf_counter()
-    problem = loader.build_problem(cfg, dense=(N <= 128))
+    problem = loader.build_problem(cfg, mode=("dense" if N <= 128 else "fft"))
     jax.block_until_ready(problem.b)
     build_s = time.perf_counter() - build_start
 

@@ -33,10 +33,20 @@ from dip_admm_tpu.ops import linalg, phantoms, radon
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class Problem:
-    """All device-resident problem data (a pytree; ``cfg`` is static)."""
+    """All device-resident problem data (a pytree; ``cfg`` is static).
+
+    ``mode`` selects the measurement-operator implementation:
+      - "dense"  : padded dense stack A [P, m, n] — batched MXU matmuls,
+                   fastest for N <= 128 (the reference's representation).
+      - "joseph" : matrix-free gather-based Joseph projector (reference
+                   implementation; exact 2-tap kernel; slow on TPU, used as
+                   the correctness oracle and on CPU).
+      - "fft"    : matrix-free gather-free FFT-shear projector
+                   (ops.radon_fft) — the large-N TPU path.
+    """
 
     cfg: ProblemConfig = dataclasses.field(metadata=dict(static=True))
-    dense: bool = dataclasses.field(metadata=dict(static=True))
+    mode: str = dataclasses.field(metadata=dict(static=True))
     angles: jnp.ndarray  # [P, m_max]
     angle_valid: jnp.ndarray  # [P, m_max] bool
     A: Optional[jnp.ndarray]  # [P, m_max * D, n] dense mode only
@@ -64,35 +74,71 @@ class Problem:
     def m_flat(self) -> int:
         return self.b.shape[1]
 
+    @property
+    def dense(self) -> bool:
+        return self.mode == "dense"
+
     # -- batched forward / adjoint operators --------------------------------
 
     def forward(self, x: jnp.ndarray) -> jnp.ndarray:
         """[P, n] images -> [P, m_max * D] measurements."""
-        if self.dense:
-            return jnp.einsum("pmn,pn->pm", self.A, x)
-        N = self.N
-        sino = jax.vmap(
-            lambda im, a, v: radon.project(self.cfg.geometry, im, a, v)
-        )(x.reshape(-1, N, N), self.angles, self.angle_valid)
-        return sino.reshape(x.shape[0], -1)
+        fwd, _ = make_node_ops(
+            self.mode, self.cfg.geometry, self.angles, self.angle_valid, self.A
+        )
+        return fwd(x)
 
     def adjoint(self, r: jnp.ndarray) -> jnp.ndarray:
         """[P, m_max * D] residuals -> [P, n] backprojections."""
-        if self.dense:
-            return jnp.einsum("pmn,pm->pn", self.A, r)
-        N, D = self.N, self.cfg.geometry.n_det
-        img = jax.vmap(
-            lambda s, a, v: radon.backproject(self.cfg.geometry, s, a, v)
-        )(r.reshape(r.shape[0], -1, D), self.angles, self.angle_valid)
-        return img.reshape(r.shape[0], -1)
+        _, adj = make_node_ops(
+            self.mode, self.cfg.geometry, self.angles, self.angle_valid, self.A
+        )
+        return adj(r)
 
 
-def _node_colnorms(cfg: GeometryConfig, angles, valid, A=None) -> jnp.ndarray:
-    """W[i, p] = ||A_i[:, p]||^2, dense or matrix-free
+def make_node_ops(mode: str, geo: GeometryConfig, angles, valid, A=None):
+    """Batched per-node (forward, adjoint) callables for a projector mode.
+
+    Shared by the Problem methods and the shard_map runtime (which passes
+    per-shard angle/operator blocks).
+    """
+    N, D = geo.N, geo.n_det
+    if mode == "dense":
+        fwd = lambda x: jnp.einsum("pmn,pn->pm", A, x)
+        adj = lambda r: jnp.einsum("pmn,pm->pn", A, r)
+    elif mode == "joseph":
+        fwd = lambda x: jax.vmap(
+            lambda im, a, v: radon.project(geo, im, a, v)
+        )(x.reshape(-1, N, N), angles, valid).reshape(x.shape[0], -1)
+        adj = lambda r: jax.vmap(
+            lambda s, a, v: radon.backproject(geo, s, a, v)
+        )(r.reshape(r.shape[0], -1, D), angles, valid).reshape(r.shape[0], -1)
+    elif mode == "fft":
+        from dip_admm_tpu.ops import radon_fft
+
+        fwd = lambda x: jax.vmap(
+            lambda im, a, v: radon_fft.project(geo, im, a, v)
+        )(x.reshape(-1, N, N), angles, valid).reshape(x.shape[0], -1)
+        adj = lambda r: jax.vmap(
+            lambda s, a, v: radon_fft.backproject(geo, s, a, v)
+        )(r.reshape(r.shape[0], -1, D), angles, valid).reshape(r.shape[0], -1)
+    else:
+        raise ValueError(f"unknown projector mode {mode!r}")
+    return fwd, adj
+
+
+def _node_colnorms(mode: str, cfg: GeometryConfig, angles, valid, A=None):
+    """W[i, p] = ||A_i[:, p]||^2 for the *actual* operator in use
     (ref ``block_3_graph_and_precisions.py:21-24``)."""
-    if A is not None:
+    if mode == "dense":
         return precisions.weights_from_dense(A)
-    W = jax.vmap(lambda a, v: radon.colnorms_sq(cfg, a, v))(angles, valid)
+    if mode == "fft":
+        from dip_admm_tpu.ops import radon_fft
+
+        W = jax.vmap(lambda a, v: radon_fft.colnorms_sq(cfg, a, v))(
+            angles, valid
+        )
+    else:
+        W = jax.vmap(lambda a, v: radon.colnorms_sq(cfg, a, v))(angles, valid)
     return jnp.maximum(W.reshape(W.shape[0], -1), precisions.EPS)
 
 
@@ -120,18 +166,23 @@ def build_problem(
     cfg: ProblemConfig,
     dense: Optional[bool] = None,
     phantom_array: Optional[np.ndarray] = None,
+    mode: Optional[str] = None,
 ) -> Problem:
     """Assemble a :class:`Problem` from configuration.
 
-    ``dense`` defaults to True for N <= 128 (where the reference's dense
-    representation fits easily and batched MXU matmuls are fastest) and False
-    above (matrix-free Joseph projector).
+    ``mode`` defaults to "dense" for N <= 128 (batched MXU matmuls on the
+    reference's representation) and "fft" above (gather-free matrix-free
+    projector). ``dense=True/False`` is a convenience alias for
+    mode="dense"/"joseph".
     """
     geo = cfg.geometry
     N, P, D = geo.N, geo.num_nodes, geo.n_det
     n = geo.n
-    if dense is None:
-        dense = N <= 128
+    if mode is None:
+        if dense is not None:
+            mode = "dense" if dense else "joseph"
+        else:
+            mode = "dense" if N <= 128 else "fft"
     dtype = jnp.dtype(cfg.dtype)
 
     angles_np, valid_np, _ = radon.node_angles(geo)
@@ -146,16 +197,17 @@ def build_problem(
 
     # Dense operators if requested.
     A = None
-    if dense:
+    if mode == "dense":
         mats = [
             radon.dense_matrix(geo, angles[i], valid[i], dtype=dtype)
             for i in range(P)
         ]
         A = jnp.stack(mats)  # [P, m_max*D, n]
 
-    # Clean sinograms via the projector (identical to dense A @ x).
-    imgs = jnp.broadcast_to(x_true.reshape(1, N, N), (P, N, N))
-    clean = radon.project_nodes(geo, imgs, angles, valid).reshape(P, -1)
+    # Clean sinograms via the same operator the solver uses.
+    fwd, _ = make_node_ops(mode, geo, angles, valid, A)
+    imgs = jnp.broadcast_to(x_true[None, :], (P, n))
+    clean = jax.jit(fwd)(imgs)
 
     # Noise only on valid measurement rows (sigma * N(0,1),
     # ref ``block_2_test.py:54-60``).
@@ -164,7 +216,7 @@ def build_problem(
     b = clean + cfg.noise_level * noise * row_valid
 
     # Precision weights and per-pixel graph.
-    W = _node_colnorms(geo, angles, valid, A).astype(dtype)
+    W = _node_colnorms(mode, geo, angles, valid, A).astype(dtype)
     q_full = precisions.pairwise_q(W, cfg.graph.q_mode)
     keep = topology.build_pixel_masks(
         q_full, strategy=cfg.graph.strategy, k=cfg.graph.k, seed=cfg.graph.seed
@@ -173,7 +225,7 @@ def build_problem(
     adj = topology.union_adjacency(keep)
 
     prob = Problem(
-        cfg=cfg, dense=dense, angles=angles, angle_valid=valid, A=A, b=b,
+        cfg=cfg, mode=mode, angles=angles, angle_valid=valid, A=A, b=b,
         W=W, Q=Q, keep=keep, adj=adj, x_true=x_true,
         opnorm=jnp.ones((P,), dtype),
     )

@@ -72,7 +72,7 @@ def save_problem(problem: Problem, path: str) -> None:
     np.savez_compressed(
         path,
         __cfg__=np.frombuffer(_cfg_to_json(problem.cfg).encode(), dtype=np.uint8),
-        __dense__=np.asarray(problem.dense),
+        __mode__=np.frombuffer(problem.mode.encode(), dtype=np.uint8),
         **{k: np.asarray(v) for k, v in arrays.items()},
     )
 
@@ -80,10 +80,10 @@ def save_problem(problem: Problem, path: str) -> None:
 def load_problem(path: str) -> Problem:
     z = np.load(path)
     cfg = _cfg_from_json(bytes(z["__cfg__"]).decode())
-    dense = bool(z["__dense__"])
+    mode = bytes(z["__mode__"]).decode()
     return Problem(
         cfg=cfg,
-        dense=dense,
+        mode=mode,
         angles=jnp.asarray(z["angles"]),
         angle_valid=jnp.asarray(z["angle_valid"]),
         A=jnp.asarray(z["A"]) if "A" in z.files else None,

@@ -1,0 +1,210 @@
+"""Gather-free Radon projector: FFT row shears + banded evaluation matmul.
+
+Motivation (measured on TPU v5e): XLA lowers the gather-based Joseph
+projector (``ops.radon``) to near-scalar gathers — ~2.9 s for a
+256x256/8-node forward projection, unusable as the inner-loop operator. This
+module reformulates the projection with no gathers at all, using only FFTs,
+elementwise phase filters, and small matmuls — all TPU-native ops.
+
+Derivation. For parallel-beam angle t (Joseph branch: integrate along the
+row axis a, interpolate along the in-row axis), the interpolation coordinate
+is affine:   fb(t, l, a) = A_t * l + B_t * a + C_t
+(l = detector index, A_t = det_spacing/(h sin), B_t = -cos/sin). Split
+fb = v + sigma_{t,a} with per-row real shift sigma_{t,a} = B_t a + C_t and
+evaluation points v = A_t * l:
+
+  1. shift each image row by sigma (linear-interp shift, done *exactly* in
+     the Fourier domain: filter H[f] = ((1-fr) + fr e^{+2 pi i f/Np})
+     e^{+2 pi i f k/Np}, sigma = k + fr),
+  2. sum the shifted rows (one elementwise-multiply + reduction per angle in
+     frequency space), inverse FFT once per angle,
+  3. evaluate the summed profile at the A_t-spaced detector grid through a
+     2-tap hat matrix (built on the fly from iota arithmetic — a small
+     [D, Np] matmul on the MXU).
+
+The composite interpolation kernel is hat-composed-with-hat (a 4-tap
+quadratic-B-spline-like footprint) — slightly smoother than the pure 2-tap
+Joseph kernel but an equally consistent discretization of the same line
+integral (nonnegative weights, partition of unity); accuracy tests (analytic
+disk profile, mass preservation, adjointness) hold at the same tolerances.
+
+Angles with |cos| > |sin| use the transposed image (branch C), mirroring
+``ops.radon``. The adjoint comes from ``jax.linear_transpose`` and contains
+only transposed FFTs/matmuls — still gather/scatter-free.
+
+Restriction: parallel-beam geometries (per-ray affine structure). Fan-beam
+stays on the dense or gather path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dip_admm_tpu.config import GeometryConfig
+from dip_admm_tpu.ops import radon
+
+
+def _padded_len(N: int, D: int) -> int:
+    """FFT window: must fit row content [0, N) plus the largest |shift| and
+    evaluation-point ranges without circular aliasing into live pixels.
+    Shifts |B_t a + C_t| <= sqrt(2) * (N + D) in the worst case; 4x the
+    max(N, D) rounded to a power of two is comfortably alias-free (asserted
+    numerically in tests)."""
+    need = 4 * max(N, D)
+    return 1 << int(np.ceil(np.log2(need)))
+
+
+def _coeffs(cfg: GeometryConfig, angles: jnp.ndarray):
+    """Affine coefficients of fb(t, l, a) = A l + B a + C for both Joseph
+    branches; mirrors the gather implementation's geometry exactly
+    (pixel centers c(i) = -1 + (i+.5) h, detector centers likewise)."""
+    N, D = cfg.N, cfg.n_det
+    h = 2.0 / N
+    det_w = cfg.det_width_factor * 2.0
+    dd = det_w / D
+    d0 = -det_w / 2.0 + 0.5 * dd
+    c0 = -1.0 + 0.5 * h  # first pixel center
+    sin = jnp.sin(angles)
+    cos = jnp.cos(angles)
+
+    def branch(s, c):
+        # x1 = (d - ca * c) / s ; fb = (x1 + 1)/h - 0.5
+        safe = jnp.where(jnp.abs(s) < 1e-9, 1e-9, s)
+        A = dd / (h * safe)
+        B = -(c / safe)
+        C = (d0 / safe - c0 * (c / safe) + 1.0) / h - 0.5
+        scale = h / jnp.abs(safe)
+        return A, B, C, scale
+
+    # Branch R: integrate over axis0 rows, interp axis1 (needs |sin|>=|cos|).
+    A_r, B_r, C_r, s_r = branch(sin, cos)
+    # Branch C: on the transposed image, roles of sin/cos swap.
+    A_c, B_c, C_c, s_c = branch(cos, sin)
+    use_r = jnp.abs(sin) >= jnp.abs(cos)
+    return (A_r, B_r, C_r, s_r), (A_c, B_c, C_c, s_c), use_r
+
+
+def _branch_project(img, A, B, C, scale, N: int, D: int, Np: int):
+    """One Joseph branch for all angles: img [N, N] row-major along the
+    integration axis; A/B/C/scale are [T] coefficient vectors."""
+    dtype = img.dtype
+    rows = jnp.pad(img, ((0, 0), (0, Np - N)))  # [N, Np]
+    rhat = jnp.fft.rfft(rows, axis=1)  # [N, F]
+    F = rhat.shape[1]
+    f = jnp.arange(F, dtype=dtype)  # frequency bins
+
+    a_idx = jnp.arange(N, dtype=dtype)
+    # Per (t, a) shift, recentered so evaluation points stay in [0, Np).
+    # Choose delta_t = floor(min_l A_t l) (A may be negative for branch C).
+    l_last = jnp.asarray(D - 1, dtype)
+    delta = jnp.floor(jnp.minimum(A * 0.0, A * l_last))  # [T]
+    sigma = B[:, None] * a_idx[None, :] + C[:, None] + delta[:, None]  # [T,N]
+    k = jnp.floor(sigma)
+    fr = (sigma - k).astype(dtype)
+    # Exact linear-interp shift filter in frequency space: s[v] = row[v + k]
+    # advances the signal, i.e. multiplies rfft bins by e^{+2 pi i f k / Np}.
+    ang = (2.0 * jnp.pi / Np) * f  # [F]
+    base = jnp.exp(1j * ang[None, None, :] * k[:, :, None])  # [T, N, F]
+    tap = (1.0 - fr)[:, :, None] + fr[:, :, None] * jnp.exp(
+        1j * ang[None, None, :]
+    )
+    ghat = jnp.sum(rhat[None, :, :] * base * tap, axis=1)  # [T, F]
+    g = jnp.fft.irfft(ghat, n=Np, axis=1).astype(dtype)  # [T, Np]
+
+    # Evaluation matmul: out[t, l] = sum_v hat(A_t l - delta_t - v) g[t, v].
+    l_idx = jnp.arange(D, dtype=dtype)
+    p = A[:, None] * l_idx[None, :] - delta[:, None]  # [T, D] in [0, Np)
+    v_idx = jnp.arange(Np, dtype=dtype)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(p[:, :, None] - v_idx[None, None, :]))
+    out = jnp.einsum("tdv,tv->td", w, g)  # [T, D]
+    return scale[:, None] * out
+
+
+def project(
+    cfg: GeometryConfig,
+    img: jnp.ndarray,
+    angles: jnp.ndarray,
+    valid: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Forward projection [N, N] x [T] -> [T, D], gather-free."""
+    if cfg.fan_beam:
+        raise NotImplementedError("FFT projector supports parallel beam only")
+    N, D = cfg.N, cfg.n_det
+    Np = _padded_len(N, D)
+    (Ar, Br, Cr, sr), (Ac, Bc, Cc, sc), use_r = _coeffs(cfg, angles)
+    out_r = _branch_project(img, Ar, Br, Cr, sr, N, D, Np)
+    out_c = _branch_project(img.T, Ac, Bc, Cc, sc, N, D, Np)
+    out = jnp.where(use_r[:, None], out_r, out_c)
+    if valid is not None:
+        out = jnp.where(valid[:, None], out, 0.0)
+    return out
+
+
+def backproject(
+    cfg: GeometryConfig,
+    sino: jnp.ndarray,
+    angles: jnp.ndarray,
+    valid: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Exact adjoint of :func:`project` (transposed FFTs + matmuls)."""
+    N = cfg.N
+    f = lambda x: project(cfg, x, angles, valid)
+    (out,) = jax.linear_transpose(f, jnp.zeros((N, N), sino.dtype))(sino)
+    return out
+
+
+def colnorms_sq(
+    cfg: GeometryConfig,
+    angles: jnp.ndarray,
+    valid: jnp.ndarray | None = None,
+    block: int = 4,
+) -> jnp.ndarray:
+    """Exact W[p] = ||A[:, p]||^2 for the composite-kernel operator.
+
+    Each pixel contributes once per ray through the composite weight
+    w = sum_v hat(p - v) hat(v + sigma - i), so W = sum_rays w^2. Evaluated
+    by materializing the [D, N, N] weight block per small angle chunk
+    (setup-time only; lax.map over chunks bounds memory)."""
+    if cfg.fan_beam:
+        raise NotImplementedError
+    N, D = cfg.N, cfg.n_det
+    Np = _padded_len(N, D)
+    (Ar, Br, Cr, sr), (Ac, Bc, Cc, sc), use_r = _coeffs(cfg, angles)
+    T = angles.shape[0]
+    vmask = jnp.ones((T,), bool) if valid is None else valid
+
+    l_idx = jnp.arange(D, dtype=jnp.float32)
+    i_idx = jnp.arange(N, dtype=jnp.float32)
+    a_idx = jnp.arange(N, dtype=jnp.float32)
+
+    def weights_one_angle(A, B, C, scale):
+        # composite weight w[l, a, i] = sum_{r in 0,1} hv_r * hat(v_r+sig-i)
+        p = A * l_idx  # [D] (delta recentring cancels in p - v + sigma)
+        v0 = jnp.floor(p)
+        fp = p - v0
+        sig = B * a_idx + C  # [N]
+        # two v taps, each a hat over i
+        def tap(v, wv):
+            pos = v[:, None] + sig[None, :]  # [D, N(a)]
+            w = jnp.maximum(
+                0.0, 1.0 - jnp.abs(pos[:, :, None] - i_idx[None, None, :])
+            )
+            return wv[:, None, None] * w
+
+        w = tap(v0, 1.0 - fp) + tap(v0 + 1.0, fp)  # [D, a, i]
+        return (scale**2) * jnp.sum(w * w, axis=0)  # [a, i]
+
+    def body(carry, t):
+        Wacc = carry
+        wr = weights_one_angle(Ar[t], Br[t], Cr[t], sr[t])
+        wc = weights_one_angle(Ac[t], Bc[t], Cc[t], sc[t]).T
+        w = jnp.where(use_r[t], wr, wc) * vmask[t]
+        return Wacc + w, None
+
+    W0 = jnp.zeros((N, N), jnp.float32)
+    W, _ = jax.lax.scan(body, W0, jnp.arange(T))
+    return W

@@ -33,12 +33,24 @@ import jax.numpy as jnp
 GRAD_OPNORM_SQ = 8.0  # classical bound for forward-difference 2-D gradient
 
 
+def _pad_tail(x, axis):
+    """Append one zero slice along ``axis`` (shift-free; concat fuses on TPU
+    where scatter-style ``at[].set`` updates do not)."""
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, 1)
+    return jnp.pad(x, pads)
+
+
+def _pad_head(x, axis):
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (1, 0)
+    return jnp.pad(x, pads)
+
+
 def grad(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Forward-difference gradient of [..., N, N] -> two [..., N, N] fields."""
-    gx = jnp.zeros_like(x)
-    gy = jnp.zeros_like(x)
-    gx = gx.at[..., :-1, :].set(x[..., 1:, :] - x[..., :-1, :])
-    gy = gy.at[..., :, :-1].set(x[..., :, 1:] - x[..., :, :-1])
+    gx = _pad_tail(x[..., 1:, :] - x[..., :-1, :], x.ndim - 2)
+    gy = _pad_tail(x[..., :, 1:] - x[..., :, :-1], x.ndim - 1)
     return gx, gy
 
 
@@ -49,11 +61,11 @@ def grad_adjoint(gx: jnp.ndarray, gy: jnp.ndarray) -> jnp.ndarray:
     with out-of-range entries zero; the structurally-zero dual components
     (last row of p_x, last column of p_y) are ignored.
     """
-    px = gx.at[..., -1, :].set(0.0)
-    py = gy.at[..., :, -1].set(0.0)
-    out = -px - py
-    out = out.at[..., 1:, :].add(px[..., :-1, :])
-    out = out.at[..., :, 1:].add(py[..., :, :-1])
+    ax, ay = gx.ndim - 2, gy.ndim - 1
+    px = gx[..., :-1, :]  # drop the structurally-zero last row
+    py = gy[..., :, :-1]
+    out = _pad_head(px, ax) - _pad_tail(px, ax)
+    out = out + _pad_head(py, ay) - _pad_tail(py, ay)
     return out
 
 

@@ -34,7 +34,6 @@ from dip_admm_tpu.core import admm as core_admm
 from dip_admm_tpu.core import node_solver
 from dip_admm_tpu.core.admm import AdmmResult, AdmmState, CommOps, NodeBlockData
 from dip_admm_tpu.data.loader import Problem
-from dip_admm_tpu.ops import radon
 from dip_admm_tpu.parallel.mesh import NODE_AXIS, make_mesh, shards_for
 
 
@@ -71,7 +70,7 @@ def run_admm_sharded(
     P = problem.num_nodes
     P_loc = shards_for(P, mesh)
     pcfg = problem.cfg
-    dense = problem.dense
+    mode = problem.mode
     dtype = problem.b.dtype
     N, n = problem.N, problem.n
     D = pcfg.geometry.n_det
@@ -86,18 +85,11 @@ def run_admm_sharded(
     repl = PS()
 
     def shard_body(angles, valid, A, b, Q, adjm, W_blk, W_all, L_blk, x_true):
-        if dense:
-            fwd = lambda x: jnp.einsum("pmn,pn->pm", A, x)
-            adj = lambda r: jnp.einsum("pmn,pm->pn", A, r)
-        else:
-            fwd = lambda x: jax.vmap(
-                lambda im, a, v: radon.project(pcfg.geometry, im, a, v)
-            )(x.reshape(-1, N, N), angles, valid).reshape(x.shape[0], -1)
-            adj = lambda r: jax.vmap(
-                lambda s, a, v: radon.backproject(pcfg.geometry, s, a, v)
-            )(r.reshape(r.shape[0], -1, D), angles, valid).reshape(
-                r.shape[0], -1
-            )
+        from dip_admm_tpu.data.loader import make_node_ops
+
+        fwd, adj = make_node_ops(
+            mode, pcfg.geometry, angles, valid, A if mode == "dense" else None
+        )
 
         data = NodeBlockData(
             fwd=fwd, adj=adj, b=b, Q=Q, adjm=adjm.astype(dtype),
@@ -148,7 +140,7 @@ def run_admm_sharded(
     )
     in_specs = (node, node, node, node, node, node, node, repl, node, repl)
 
-    A_arg = problem.A if dense else jnp.zeros((P, 1), dtype)
+    A_arg = problem.A if mode == "dense" else jnp.zeros((P, 1), dtype)
     f = jax.shard_map(
         shard_body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,

@@ -1,0 +1,137 @@
+"""Gather-free FFT-shear projector: correctness against analytic profiles,
+exact adjointness, exact column norms, and closeness to the 2-tap Joseph
+reference implementation (the kernels differ slightly — composite 4-tap vs
+2-tap — so closeness, not equality, is the contract)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dip_admm_tpu.config import GeometryConfig
+from dip_admm_tpu.ops import radon, radon_fft
+
+
+def test_disk_analytic():
+    N = 64
+    cfg = GeometryConfig(N=N, num_nodes=1, angles_total=8)
+    r = 0.5
+    h = 2.0 / N
+    c = -1 + (np.arange(N) + 0.5) * h
+    X, Y = np.meshgrid(c, c, indexing="ij")
+    img = jnp.asarray((X**2 + Y**2 <= r**2).astype(np.float32))
+    angles = jnp.asarray(radon.aggregate_angles(cfg), jnp.float32)
+    sino = radon_fft.project(cfg, img, angles)
+    dets = radon.detector_centers(cfg.n_det, 2.0)
+    expected = 2.0 * np.sqrt(np.maximum(r**2 - dets**2, 0.0))
+    # The composite kernel smooths the square-root singularity at |d| = r;
+    # check pointwise away from the edge and globally in L2.
+    away = np.abs(np.abs(dets) - r) > 3 * h
+    for t in range(len(angles)):
+        s = np.asarray(sino[t])
+        np.testing.assert_allclose(s[away], expected[away], atol=4 * h)
+        rel = np.linalg.norm(s - expected) / np.linalg.norm(expected)
+        assert rel < 0.02, rel
+
+
+def test_close_to_joseph():
+    N = 32
+    cfg = GeometryConfig(N=N, num_nodes=1, angles_total=24)
+    angles = jnp.asarray(radon.aggregate_angles(cfg), jnp.float32)
+    # Smooth test image: on bandlimited content the 2-tap and composite
+    # kernels agree closely; residual differences are pure kernel smoothing.
+    c = np.linspace(-1, 1, N)
+    X, Y = np.meshgrid(c, c, indexing="ij")
+    img = jnp.asarray(
+        (np.exp(-((X - 0.2) ** 2 + Y**2) / 0.08)
+         + 0.5 * np.exp(-((X + 0.3) ** 2 + (Y - 0.2) ** 2) / 0.15)
+         ).astype(np.float32)
+    )
+    s_ref = np.asarray(radon.project(cfg, img, angles))
+    s_fft = np.asarray(radon_fft.project(cfg, img, angles))
+    rel = np.linalg.norm(s_fft - s_ref) / np.linalg.norm(s_ref)
+    assert rel < 0.01, rel
+
+
+def test_mass_preservation():
+    N = 48
+    cfg = GeometryConfig(N=N, num_nodes=1, angles_total=12, det_width_factor=1.5)
+    rng = np.random.default_rng(0)
+    img = np.zeros((N, N), dtype=np.float32)
+    img[N // 4 : -N // 4, N // 4 : -N // 4] = rng.random((N // 2, N // 2))
+    angles = jnp.asarray(radon.aggregate_angles(cfg), jnp.float32)
+    sino = np.asarray(radon_fft.project(cfg, jnp.asarray(img), angles))
+    det_w = cfg.det_width_factor * 2.0
+    mass = img.sum() * (2.0 / N) ** 2
+    proj_mass = sino.sum(axis=1) * (det_w / cfg.n_det)
+    np.testing.assert_allclose(proj_mass, mass, rtol=0.02)
+
+
+def test_adjoint_exact():
+    cfg = GeometryConfig(N=24, num_nodes=1, angles_total=20)
+    angles = jnp.asarray(radon.aggregate_angles(cfg), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (24, 24))
+    y = jax.random.normal(jax.random.PRNGKey(1), (20, cfg.n_det))
+    ax = radon_fft.project(cfg, x, angles)
+    aty = radon_fft.backproject(cfg, y, angles)
+    np.testing.assert_allclose(
+        float(jnp.sum(ax * y)), float(jnp.sum(x * aty)), rtol=1e-3
+    )
+
+
+def test_colnorms_exact():
+    # W from the closed-form composite weights must equal the brute-force
+    # column norms of the materialized FFT operator.
+    N = 16
+    cfg = GeometryConfig(N=N, num_nodes=1, angles_total=10)
+    angles = jnp.asarray(radon.aggregate_angles(cfg), jnp.float32)
+    n = N * N
+    basis = jnp.eye(n, dtype=jnp.float32).reshape(n, N, N)
+    cols = jax.vmap(lambda e: radon_fft.project(cfg, e, angles))(basis)
+    A = np.asarray(cols.reshape(n, -1)).T  # [m, n]
+    w_brute = np.sum(A * A, axis=0)
+    w_closed = np.asarray(radon_fft.colnorms_sq(cfg, angles)).reshape(-1)
+    np.testing.assert_allclose(w_closed, w_brute, rtol=1e-3, atol=1e-4)
+
+
+def test_padded_angles_masked():
+    cfg = GeometryConfig(N=16, num_nodes=3, angles_total=10)
+    angles, valid, _ = radon.node_angles(cfg)
+    img = jnp.asarray(
+        np.random.default_rng(0).normal(size=(16, 16)).astype(np.float32)
+    )
+    out = radon_fft.project(
+        cfg, img, jnp.asarray(angles[1], jnp.float32), jnp.asarray(valid[1])
+    )
+    assert np.all(np.asarray(out[3]) == 0.0)
+
+
+def test_reconstruction_via_fft_mode():
+    # End-to-end: build a problem in fft mode and check ADMM converges to a
+    # reasonable reconstruction (the solver consumes only fwd/adj, so this
+    # validates the full operator stack).
+    from dip_admm_tpu.config import (
+        AdmmConfig,
+        GraphConfig,
+        NodeSolverConfig,
+        ProblemConfig,
+    )
+    from dip_admm_tpu.core import admm
+    from dip_admm_tpu.data import loader
+    from dip_admm_tpu.utils.imaging import psnr
+
+    cfg = ProblemConfig(
+        geometry=GeometryConfig(N=16, num_nodes=3, angles_total=24),
+        graph=GraphConfig(strategy="knn", k=1, seed=123),
+        admm=AdmmConfig(
+            lam_tv=0.02, rho=2.0, max_iters=25, eps_pri=1e-8, eps_dual=1e-8,
+            node=NodeSolverConfig(max_inner=300, check_every=25),
+        ),
+        noise_level=0.005,
+        phantom="const",
+    )
+    problem = loader.build_problem(cfg, mode="fft")
+    res = admm.run_admm(problem)
+    x_true = np.asarray(problem.x_true)
+    val = psnr(np.asarray(res.x).mean(axis=0), x_true, data_range=x_true.max())
+    assert val > 18.0, val

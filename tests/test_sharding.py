@@ -87,7 +87,7 @@ def test_sharded_matches_single_device(n_dev):
 
 def test_sharded_matrix_free():
     problem = make_problem(P=4)
-    free = dataclasses.replace(problem, dense=False, A=None)
+    free = dataclasses.replace(problem, mode="joseph", A=None)
     m = meshlib.make_mesh(4)
     got = admm_sharded.run_admm_sharded(free, mesh=m)
     ref = admm.run_admm(problem)

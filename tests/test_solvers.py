@@ -34,7 +34,7 @@ def test_ridge_dense_vs_matrix_free(problem):
     x_dense = centralized.ridge_reconstruction(problem, lam=lam)
     import dataclasses
 
-    free = dataclasses.replace(problem, dense=False, A=None)
+    free = dataclasses.replace(problem, mode="joseph", A=None)
     x_free = centralized.ridge_reconstruction(free, lam=lam)
     np.testing.assert_allclose(
         np.asarray(x_dense), np.asarray(x_free), atol=2e-2, rtol=1e-2
