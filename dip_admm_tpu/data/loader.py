@@ -57,6 +57,10 @@ class Problem:
     adj: jnp.ndarray  # [P, P] bool union adjacency
     x_true: jnp.ndarray  # [n]
     opnorm: jnp.ndarray  # [P] estimates of ||A_i^T A_i||_2
+    # fft mode only: per-node geometry phase/evaluation tables (arrays with a
+    # leading node axis; ~100 MB/node at 256^2) — precomputing them is the
+    # difference between ~16 ms and ~2 ms per normal-operator application.
+    fft_tables: Optional[dict] = None
 
     @property
     def num_nodes(self) -> int:
@@ -83,19 +87,23 @@ class Problem:
     def forward(self, x: jnp.ndarray) -> jnp.ndarray:
         """[P, n] images -> [P, m_max * D] measurements."""
         fwd, _ = make_node_ops(
-            self.mode, self.cfg.geometry, self.angles, self.angle_valid, self.A
+            self.mode, self.cfg.geometry, self.angles, self.angle_valid,
+            self.A, self.fft_tables,
         )
         return fwd(x)
 
     def adjoint(self, r: jnp.ndarray) -> jnp.ndarray:
         """[P, m_max * D] residuals -> [P, n] backprojections."""
         _, adj = make_node_ops(
-            self.mode, self.cfg.geometry, self.angles, self.angle_valid, self.A
+            self.mode, self.cfg.geometry, self.angles, self.angle_valid,
+            self.A, self.fft_tables,
         )
         return adj(r)
 
 
-def make_node_ops(mode: str, geo: GeometryConfig, angles, valid, A=None):
+def make_node_ops(
+    mode: str, geo: GeometryConfig, angles, valid, A=None, tables=None
+):
     """Batched per-node (forward, adjoint) callables for a projector mode.
 
     Shared by the Problem methods and the shard_map runtime (which passes
@@ -115,12 +123,18 @@ def make_node_ops(mode: str, geo: GeometryConfig, angles, valid, A=None):
     elif mode == "fft":
         from dip_admm_tpu.ops import radon_fft
 
+        if tables is None:
+            tables = jax.vmap(
+                lambda a, v: radon_fft.precompute_phases(geo, a, v)
+            )(angles, valid)
         fwd = lambda x: jax.vmap(
-            lambda im, a, v: radon_fft.project(geo, im, a, v)
-        )(x.reshape(-1, N, N), angles, valid).reshape(x.shape[0], -1)
+            lambda im, a, v, t: radon_fft.project(geo, im, a, v, t)
+        )(x.reshape(-1, N, N), angles, valid, tables).reshape(x.shape[0], -1)
         adj = lambda r: jax.vmap(
-            lambda s, a, v: radon_fft.backproject(geo, s, a, v)
-        )(r.reshape(r.shape[0], -1, D), angles, valid).reshape(r.shape[0], -1)
+            lambda s, a, v, t: radon_fft.backproject(geo, s, a, v, t)
+        )(r.reshape(r.shape[0], -1, D), angles, valid, tables).reshape(
+            r.shape[0], -1
+        )
     else:
         raise ValueError(f"unknown projector mode {mode!r}")
     return fwd, adj
@@ -204,8 +218,17 @@ def build_problem(
         ]
         A = jnp.stack(mats)  # [P, m_max*D, n]
 
+    # Geometry tables for the fft projector (precomputed once per problem).
+    fft_tables = None
+    if mode == "fft":
+        from dip_admm_tpu.ops import radon_fft
+
+        fft_tables = jax.jit(
+            jax.vmap(lambda a, v: radon_fft.precompute_phases(geo, a, v))
+        )(angles, valid)
+
     # Clean sinograms via the same operator the solver uses.
-    fwd, _ = make_node_ops(mode, geo, angles, valid, A)
+    fwd, _ = make_node_ops(mode, geo, angles, valid, A, fft_tables)
     imgs = jnp.broadcast_to(x_true[None, :], (P, n))
     clean = jax.jit(fwd)(imgs)
 
@@ -227,7 +250,7 @@ def build_problem(
     prob = Problem(
         cfg=cfg, mode=mode, angles=angles, angle_valid=valid, A=A, b=b,
         W=W, Q=Q, keep=keep, adj=adj, x_true=x_true,
-        opnorm=jnp.ones((P,), dtype),
+        opnorm=jnp.ones((P,), dtype), fft_tables=fft_tables,
     )
     opnorm = _estimate_opnorms(prob.forward, prob.adjoint, P, n)
     return dataclasses.replace(prob, opnorm=opnorm.astype(dtype))

@@ -81,7 +81,18 @@ def load_problem(path: str) -> Problem:
     z = np.load(path)
     cfg = _cfg_from_json(bytes(z["__cfg__"]).decode())
     mode = bytes(z["__mode__"]).decode()
+    fft_tables = None
+    if mode == "fft":
+        # Geometry tables are derived state — rebuild rather than store.
+        import jax
+
+        from dip_admm_tpu.ops import radon_fft
+
+        fft_tables = jax.vmap(
+            lambda a, v: radon_fft.precompute_phases(cfg.geometry, a, v)
+        )(jnp.asarray(z["angles"]), jnp.asarray(z["angle_valid"]))
     return Problem(
+        fft_tables=fft_tables,
         cfg=cfg,
         mode=mode,
         angles=jnp.asarray(z["angles"]),

@@ -88,40 +88,78 @@ def _coeffs(cfg: GeometryConfig, angles: jnp.ndarray):
     return (A_r, B_r, C_r, s_r), (A_c, B_c, C_c, s_c), use_r
 
 
-def _branch_project(img, A, B, C, scale, N: int, D: int, Np: int):
-    """One Joseph branch for all angles: img [N, N] row-major along the
-    integration axis; A/B/C/scale are [T] coefficient vectors."""
-    dtype = img.dtype
-    rows = jnp.pad(img, ((0, 0), (0, Np - N)))  # [N, Np]
-    rhat = jnp.fft.rfft(rows, axis=1)  # [N, F]
-    F = rhat.shape[1]
-    f = jnp.arange(F, dtype=dtype)  # frequency bins
+def _branch_phases(A, B, C, N: int, D: int, Np: int, mask=None):
+    """Shift-filter phase table H [T, N, F] (complex64) for one branch.
 
-    a_idx = jnp.arange(N, dtype=dtype)
-    # Per (t, a) shift, recentered so evaluation points stay in [0, Np).
-    # Choose delta_t = floor(min_l A_t l) (A may be negative for branch C).
-    l_last = jnp.asarray(D - 1, dtype)
+    H depends only on the geometry, so callers should precompute it once per
+    problem (``precompute_phases``) — evaluating ~1e8 complex exponentials
+    per projector application otherwise dominates the runtime (measured).
+    ``mask`` zeroes the rows of inactive angles so the two branch outputs can
+    simply be added.
+    """
+    F = Np // 2 + 1
+    f = jnp.arange(F, dtype=jnp.float32)
+    a_idx = jnp.arange(N, dtype=jnp.float32)
+    l_last = jnp.asarray(D - 1, jnp.float32)
     delta = jnp.floor(jnp.minimum(A * 0.0, A * l_last))  # [T]
     sigma = B[:, None] * a_idx[None, :] + C[:, None] + delta[:, None]  # [T,N]
     k = jnp.floor(sigma)
-    fr = (sigma - k).astype(dtype)
-    # Exact linear-interp shift filter in frequency space: s[v] = row[v + k]
-    # advances the signal, i.e. multiplies rfft bins by e^{+2 pi i f k / Np}.
+    fr = sigma - k
+    # s[v] = row[v + k] advances the signal: multiply rfft bins by
+    # e^{+2 pi i f k / Np}; the fractional tap adds ((1-fr) + fr e^{+i w_f}).
     ang = (2.0 * jnp.pi / Np) * f  # [F]
     base = jnp.exp(1j * ang[None, None, :] * k[:, :, None])  # [T, N, F]
     tap = (1.0 - fr)[:, :, None] + fr[:, :, None] * jnp.exp(
         1j * ang[None, None, :]
     )
-    ghat = jnp.sum(rhat[None, :, :] * base * tap, axis=1)  # [T, F]
-    g = jnp.fft.irfft(ghat, n=Np, axis=1).astype(dtype)  # [T, Np]
+    H = (base * tap).astype(jnp.complex64)
+    if mask is not None:
+        H = H * mask[:, None, None]
+    return H, delta
 
-    # Evaluation matmul: out[t, l] = sum_v hat(A_t l - delta_t - v) g[t, v].
-    l_idx = jnp.arange(D, dtype=dtype)
+
+def _branch_eval_weights(A, delta, D: int, Np: int, scale, mask=None):
+    """Detector-grid evaluation matrix w [T, D, Np] (geometry-only)."""
+    l_idx = jnp.arange(D, dtype=jnp.float32)
     p = A[:, None] * l_idx[None, :] - delta[:, None]  # [T, D] in [0, Np)
-    v_idx = jnp.arange(Np, dtype=dtype)
+    v_idx = jnp.arange(Np, dtype=jnp.float32)
     w = jnp.maximum(0.0, 1.0 - jnp.abs(p[:, :, None] - v_idx[None, None, :]))
-    out = jnp.einsum("tdv,tv->td", w, g)  # [T, D]
-    return scale[:, None] * out
+    w = w * scale[:, None, None]
+    if mask is not None:
+        w = w * mask[:, None, None]
+    return w
+
+
+def precompute_phases(cfg: GeometryConfig, angles: jnp.ndarray, valid=None):
+    """Geometry-only tables for :func:`project`: shift-filter phases and
+    evaluation weights for both Joseph branches, with inactive-branch angles
+    masked to zero (the branch outputs then just add)."""
+    N, D = cfg.N, cfg.n_det
+    Np = _padded_len(N, D)
+    (Ar, Br, Cr, sr), (Ac, Bc, Cc, sc), use_r = _coeffs(cfg, angles)
+    m_r = use_r.astype(jnp.float32)
+    m_c = 1.0 - m_r
+    if valid is not None:
+        vm = valid.astype(jnp.float32)
+        m_r = m_r * vm
+        m_c = m_c * vm
+    H_r, d_r = _branch_phases(Ar, Br, Cr, N, D, Np, mask=m_r)
+    H_c, d_c = _branch_phases(Ac, Bc, Cc, N, D, Np, mask=m_c)
+    w_r = _branch_eval_weights(Ar, d_r, D, Np, sr, mask=m_r)
+    w_c = _branch_eval_weights(Ac, d_c, D, Np, sc, mask=m_c)
+    # Np is recoverable from the (static) table shapes; keeping it out of the
+    # pytree keeps the tables jit-transparent.
+    return {"H_r": H_r, "H_c": H_c, "w_r": w_r, "w_c": w_c}
+
+
+def _branch_apply(img, H, w, Np: int):
+    """rows -FFT-> filter/sum -IFFT-> evaluation matmul."""
+    N = img.shape[0]
+    rows = jnp.pad(img, ((0, 0), (0, Np - N)))
+    rhat = jnp.fft.rfft(rows, axis=1)  # [N, F]
+    ghat = jnp.einsum("nf,tnf->tf", rhat, H)
+    g = jnp.fft.irfft(ghat, n=Np, axis=1).astype(img.dtype)  # [T, Np]
+    return jnp.einsum("tdv,tv->td", w, g)
 
 
 def project(
@@ -129,18 +167,20 @@ def project(
     img: jnp.ndarray,
     angles: jnp.ndarray,
     valid: jnp.ndarray | None = None,
+    tables=None,
 ) -> jnp.ndarray:
-    """Forward projection [N, N] x [T] -> [T, D], gather-free."""
+    """Forward projection [N, N] x [T] -> [T, D], gather-free.
+
+    Pass ``tables=precompute_phases(...)`` to skip the per-call phase
+    construction (the fast path for repeated application).
+    """
     if cfg.fan_beam:
         raise NotImplementedError("FFT projector supports parallel beam only")
-    N, D = cfg.N, cfg.n_det
-    Np = _padded_len(N, D)
-    (Ar, Br, Cr, sr), (Ac, Bc, Cc, sc), use_r = _coeffs(cfg, angles)
-    out_r = _branch_project(img, Ar, Br, Cr, sr, N, D, Np)
-    out_c = _branch_project(img.T, Ac, Bc, Cc, sc, N, D, Np)
-    out = jnp.where(use_r[:, None], out_r, out_c)
-    if valid is not None:
-        out = jnp.where(valid[:, None], out, 0.0)
+    if tables is None:
+        tables = precompute_phases(cfg, angles, valid)
+    Np = tables["w_r"].shape[-1]
+    out = _branch_apply(img, tables["H_r"], tables["w_r"], Np)
+    out = out + _branch_apply(img.T, tables["H_c"], tables["w_c"], Np)
     return out
 
 
@@ -149,10 +189,13 @@ def backproject(
     sino: jnp.ndarray,
     angles: jnp.ndarray,
     valid: jnp.ndarray | None = None,
+    tables=None,
 ) -> jnp.ndarray:
     """Exact adjoint of :func:`project` (transposed FFTs + matmuls)."""
     N = cfg.N
-    f = lambda x: project(cfg, x, angles, valid)
+    if tables is None:
+        tables = precompute_phases(cfg, angles, valid)
+    f = lambda x: project(cfg, x, angles, valid, tables)
     (out,) = jax.linear_transpose(f, jnp.zeros((N, N), sino.dtype))(sino)
     return out
 

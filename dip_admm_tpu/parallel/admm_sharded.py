@@ -84,11 +84,15 @@ def run_admm_sharded(
     node = PS(NODE_AXIS)
     repl = PS()
 
-    def shard_body(angles, valid, A, b, Q, adjm, W_blk, W_all, L_blk, x_true):
+    def shard_body(
+        angles, valid, A, tables, b, Q, adjm, W_blk, W_all, L_blk, x_true
+    ):
         from dip_admm_tpu.data.loader import make_node_ops
 
         fwd, adj = make_node_ops(
-            mode, pcfg.geometry, angles, valid, A if mode == "dense" else None
+            mode, pcfg.geometry, angles, valid,
+            A if mode == "dense" else None,
+            tables if mode == "fft" else None,
         )
 
         data = NodeBlockData(
@@ -138,14 +142,22 @@ def run_admm_sharded(
             Z=node, Y=node, k=repl, stop=repl,
         ),
     )
-    in_specs = (node, node, node, node, node, node, node, repl, node, repl)
-
     A_arg = problem.A if mode == "dense" else jnp.zeros((P, 1), dtype)
+    tables_arg = (
+        problem.fft_tables
+        if (mode == "fft" and problem.fft_tables is not None)
+        else jnp.zeros((P, 1), dtype)
+    )
+    tables_spec = jax.tree.map(lambda _: node, tables_arg)
+    in_specs = (
+        node, node, node, tables_spec, node, node, node, node, repl, node,
+        repl,
+    )
     f = jax.shard_map(
         shard_body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(f)(
-        problem.angles, problem.angle_valid, A_arg, problem.b, problem.Q,
-        problem.adj, problem.W, problem.W, L, problem.x_true,
+        problem.angles, problem.angle_valid, A_arg, tables_arg, problem.b,
+        problem.Q, problem.adj, problem.W, problem.W, L, problem.x_true,
     )

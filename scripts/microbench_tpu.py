@@ -78,3 +78,29 @@ if __name__ == "__main__":
     bench_projector(256, 8)
     bench_projector(512, 8)
     bench_tv(256, 8)
+
+
+def bench_fft_projector(N=256, P=8):
+    from dip_admm_tpu.ops import radon_fft
+
+    cfg = GeometryConfig(N=N, num_nodes=P)
+    angles_np, valid_np, _ = radon.node_angles(cfg)
+    angles = jnp.asarray(angles_np, jnp.float32)
+    valid = jnp.asarray(valid_np)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (P, N, N), jnp.float32)
+
+    fwd = jax.jit(
+        lambda im: jax.vmap(lambda x, a, v: radon_fft.project(cfg, x, a, v))(
+            im, angles, valid
+        )
+    )
+    t = time_fn(fwd, imgs, iters=10)
+    print(f"fft fwd N={N} P={P}: {t['best_s']*1e3:.3f} ms")
+    sinos = fwd(imgs)
+    adj = jax.jit(
+        lambda s: jax.vmap(
+            lambda ss, a, v: radon_fft.backproject(cfg, ss, a, v)
+        )(s, angles, valid)
+    )
+    t2 = time_fn(adj, sinos, iters=10)
+    print(f"fft adj N={N} P={P}: {t2['best_s']*1e3:.3f} ms")
