@@ -118,22 +118,15 @@ def _branch_phases(A, B, C, N: int, D: int, Np: int, mask=None):
     return H, delta
 
 
-def _branch_eval_weights(A, delta, D: int, Np: int, scale, mask=None):
-    """Detector-grid evaluation matrix w [T, D, Np] (geometry-only)."""
-    l_idx = jnp.arange(D, dtype=jnp.float32)
-    p = A[:, None] * l_idx[None, :] - delta[:, None]  # [T, D] in [0, Np)
-    v_idx = jnp.arange(Np, dtype=jnp.float32)
-    w = jnp.maximum(0.0, 1.0 - jnp.abs(p[:, :, None] - v_idx[None, None, :]))
-    w = w * scale[:, None, None]
-    if mask is not None:
-        w = w * mask[:, None, None]
-    return w
-
-
 def precompute_phases(cfg: GeometryConfig, angles: jnp.ndarray, valid=None):
-    """Geometry-only tables for :func:`project`: shift-filter phases and
-    evaluation weights for both Joseph branches, with inactive-branch angles
-    masked to zero (the branch outputs then just add)."""
+    """Geometry-only tables for :func:`project`.
+
+    Only the shift-filter phase tensors H (the expensive exponentials) are
+    materialized; the 2-sparse evaluation weights are rebuilt on the fly from
+    the small coefficient vectors (storing them would double the footprint
+    for pure hat arithmetic). Inactive-branch angles are masked to zero in H
+    so the two branch outputs simply add.
+    """
     N, D = cfg.N, cfg.n_det
     Np = _padded_len(N, D)
     (Ar, Br, Cr, sr), (Ac, Bc, Cc, sc), use_r = _coeffs(cfg, angles)
@@ -145,21 +138,28 @@ def precompute_phases(cfg: GeometryConfig, angles: jnp.ndarray, valid=None):
         m_c = m_c * vm
     H_r, d_r = _branch_phases(Ar, Br, Cr, N, D, Np, mask=m_r)
     H_c, d_c = _branch_phases(Ac, Bc, Cc, N, D, Np, mask=m_c)
-    w_r = _branch_eval_weights(Ar, d_r, D, Np, sr, mask=m_r)
-    w_c = _branch_eval_weights(Ac, d_c, D, Np, sc, mask=m_c)
-    # Np is recoverable from the (static) table shapes; keeping it out of the
-    # pytree keeps the tables jit-transparent.
-    return {"H_r": H_r, "H_c": H_c, "w_r": w_r, "w_c": w_c}
+    # Np is recoverable from the (static) H shapes (Np = 2*(F-1)); keeping it
+    # out of the pytree keeps the tables jit-transparent.
+    return {
+        "H_r": H_r, "A_r": Ar, "d_r": d_r, "s_r": sr,
+        "H_c": H_c, "A_c": Ac, "d_c": d_c, "s_c": sc,
+    }
 
 
-def _branch_apply(img, H, w, Np: int):
-    """rows -FFT-> filter/sum -IFFT-> evaluation matmul."""
+def _branch_apply(img, H, A, delta, scale, D: int):
+    """rows -FFT-> filter/sum -IFFT-> on-the-fly evaluation matmul."""
     N = img.shape[0]
+    Np = 2 * (H.shape[-1] - 1)
     rows = jnp.pad(img, ((0, 0), (0, Np - N)))
     rhat = jnp.fft.rfft(rows, axis=1)  # [N, F]
     ghat = jnp.einsum("nf,tnf->tf", rhat, H)
     g = jnp.fft.irfft(ghat, n=Np, axis=1).astype(img.dtype)  # [T, Np]
-    return jnp.einsum("tdv,tv->td", w, g)
+    l_idx = jnp.arange(D, dtype=img.dtype)
+    p = A[:, None] * l_idx[None, :] - delta[:, None]  # [T, D] in [0, Np)
+    v_idx = jnp.arange(Np, dtype=img.dtype)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(p[:, :, None] - v_idx[None, None, :]))
+    out = jnp.einsum("tdv,tv->td", w, g)
+    return scale[:, None] * out
 
 
 def project(
@@ -178,9 +178,10 @@ def project(
         raise NotImplementedError("FFT projector supports parallel beam only")
     if tables is None:
         tables = precompute_phases(cfg, angles, valid)
-    Np = tables["w_r"].shape[-1]
-    out = _branch_apply(img, tables["H_r"], tables["w_r"], Np)
-    out = out + _branch_apply(img.T, tables["H_c"], tables["w_c"], Np)
+    t = tables
+    D = cfg.n_det
+    out = _branch_apply(img, t["H_r"], t["A_r"], t["d_r"], t["s_r"], D)
+    out = out + _branch_apply(img.T, t["H_c"], t["A_c"], t["d_c"], t["s_c"], D)
     return out
 
 
