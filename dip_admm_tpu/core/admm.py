@@ -342,13 +342,17 @@ def run_admm_batched(
     b_batch: [B, P, m]; x_true_batch: [B, n] (defaults to the problem's).
     Returns an AdmmResult with a leading batch axis on every array.
     """
-    import dataclasses as _dc
-
     cfg = cfg if cfg is not None else problem.cfg.admm
     if x_true_batch is None:
         x_true_batch = jnp.broadcast_to(
             problem.x_true[None], (b_batch.shape[0],) + problem.x_true.shape
         )
+    return _run_admm_batched_jit(problem, cfg, b_batch, x_true_batch)
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def _run_admm_batched_jit(problem, cfg, b_batch, x_true_batch):
+    import dataclasses as _dc
 
     def one(b, x_true):
         prob = _dc.replace(problem, b=b, x_true=x_true)

@@ -19,6 +19,7 @@ is exact — padded rows contribute nothing to A^T A or A^T b.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Optional
 
 import jax
@@ -156,18 +157,32 @@ def _node_colnorms(mode: str, cfg: GeometryConfig, angles, valid, A=None):
     return jnp.maximum(W.reshape(W.shape[0], -1), precisions.EPS)
 
 
-def _estimate_opnorms(prob_fwd, prob_adj, P: int, n: int, iters: int = 30):
-    """Batched power-method estimates of ||A_i^T A_i|| for solver steps."""
+# NOTE on jit hygiene: every helper below takes the device arrays (A, tables,
+# ...) as explicit jit *arguments*. Closing over them instead bakes them into
+# the lowered module as MLIR constants — jax then fetches the full arrays to
+# host during lowering, which is catastrophic at 256^2 (multi-GB tables) and
+# aborts the TPU backend.
 
-    def mv(x):
-        return prob_adj(prob_fwd(x))
+
+@functools.partial(jax.jit, static_argnames=("mode", "geo"))
+def _jit_forward(mode, geo, angles, valid, A, tables, x):
+    fwd, _ = make_node_ops(mode, geo, angles, valid, A, tables)
+    return fwd(x)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "geo", "iters"))
+def _estimate_opnorms(mode, geo, angles, valid, A, tables, iters: int = 30):
+    """Batched power-method estimates of ||A_i^T A_i|| for solver steps."""
+    fwd, adj = make_node_ops(mode, geo, angles, valid, A, tables)
+    P = angles.shape[0]
+    n = geo.n
 
     v = jax.random.normal(jax.random.PRNGKey(7), (P, n), dtype=jnp.float32)
     v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
 
     def body(_, carry):
         v, lam = carry
-        w = mv(v)
+        w = adj(fwd(v))
         lam = jnp.linalg.norm(w, axis=1)
         v = w / jnp.maximum(lam[:, None], 1e-30)
         return v, lam
@@ -228,9 +243,8 @@ def build_problem(
         )(angles, valid)
 
     # Clean sinograms via the same operator the solver uses.
-    fwd, _ = make_node_ops(mode, geo, angles, valid, A, fft_tables)
     imgs = jnp.broadcast_to(x_true[None, :], (P, n))
-    clean = jax.jit(fwd)(imgs)
+    clean = _jit_forward(mode, geo, angles, valid, A, fft_tables, imgs)
 
     # Noise only on valid measurement rows (sigma * N(0,1),
     # ref ``block_2_test.py:54-60``).
@@ -247,13 +261,12 @@ def build_problem(
     Q = q_full * keep  # masked provider semantics
     adj = topology.union_adjacency(keep)
 
-    prob = Problem(
+    opnorm = _estimate_opnorms(mode, geo, angles, valid, A, fft_tables)
+    return Problem(
         cfg=cfg, mode=mode, angles=angles, angle_valid=valid, A=A, b=b,
         W=W, Q=Q, keep=keep, adj=adj, x_true=x_true,
-        opnorm=jnp.ones((P,), dtype), fft_tables=fft_tables,
+        opnorm=opnorm.astype(dtype), fft_tables=fft_tables,
     )
-    opnorm = _estimate_opnorms(prob.forward, prob.adjoint, P, n)
-    return dataclasses.replace(prob, opnorm=opnorm.astype(dtype))
 
 
 def rebuild_graph(problem: Problem, graph_cfg) -> Problem:

@@ -15,6 +15,8 @@ P=1 and no consensus coupling.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -43,9 +45,14 @@ def _aggregate_ops(problem: Problem):
 
 def ridge_reconstruction(problem: Problem, lam: float = 1e-3) -> jnp.ndarray:
     """x = (A^T A + lam I)^{-1} A^T b on the aggregate operator
-    (ref ``block_2_test.py:83-88``). Dense mode only (needs the Gram)."""
+    (ref ``block_2_test.py:83-88``); matrix-free modes use CG on the normal
+    equations instead of the explicit Gram."""
+    return _ridge_jit(problem, lam)
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def _ridge_jit(problem: Problem, lam: float) -> jnp.ndarray:
     if not problem.dense:
-        # Matrix-free: CG on the normal equations.
         fwd, adj, b = _aggregate_ops(problem)
         atb = adj(b)[0]
 
@@ -70,6 +77,11 @@ def tv_reconstruction(
     ceiling against which decentralized reconstructions are compared.
     """
     cfg = cfg or NodeSolverConfig(max_inner=2000, check_every=50)
+    return _tv_recon_jit(problem, lam_tv, cfg, eps)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _tv_recon_jit(problem: Problem, lam_tv: float, cfg, eps: float):
     fwd, adj, b = _aggregate_ops(problem)
     n, N = problem.n, problem.N
     L = jnp.sum(problem.opnorm)[None]  # ||sum A_i^T A_i|| <= sum ||A_i^T A_i||
