@@ -1,0 +1,74 @@
+"""Orchestration smoke tests: the full block-7 artifact set on a tiny run."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from dip_admm_tpu.config import (
+    AdmmConfig,
+    GeometryConfig,
+    GraphConfig,
+    NodeSolverConfig,
+    ProblemConfig,
+)
+from dip_admm_tpu.runners import cli, experiment
+
+
+def tiny_cfg():
+    return ProblemConfig(
+        geometry=GeometryConfig(N=12, num_nodes=3, angles_total=12),
+        graph=GraphConfig(strategy="knn", k=1, seed=123),
+        admm=AdmmConfig(
+            lam_tv=0.02, rho=2.0, max_iters=4, eps_pri=1e-9, eps_dual=1e-9,
+            node=NodeSolverConfig(max_inner=30, check_every=15),
+        ),
+        phantom="const",
+    )
+
+
+def test_run_one_strategy_artifacts(tmp_path):
+    x, hist, summary = experiment.run_one_strategy(
+        tiny_cfg(), str(tmp_path), strategy="knn", k=1
+    )
+    assert x.shape == (3, 144)
+    assert summary["n_iters"] == 4
+    out = tmp_path / "knn_k1"
+    files = {p.name for p in out.rglob("*")}
+    # Parameter dump, reconstructions, residual curves, MSE plots, graphs.
+    assert "run_parameters.txt" in files
+    for want in (
+        "knn_k1_node_0.npy", "knn_k1_node_0.png",
+        "knn_k1_residuals.png", "knn_k1_primal_hist.npy",
+        "knn_k1_obj_per_node.npy", "knn_k1_pri_per_node.png",
+        "knn_k1_sino_mse_per_node.npy", "knn_k1_img_mse_total.npy",
+        "knn_k1_g_norm_per_node.png",
+        "pixel_union_graph_knn_k1.png", "pixel_union_degree_knn_k1.png",
+    ):
+        assert want in files, f"missing artifact {want}"
+    # Normalizations match the reference definitions: per-m_i and per-N^2.
+    sino_mse = np.load(out / "knn_k1_sino_mse_per_node.npy")
+    raw = hist["mse_sino_per_node"][:4]
+    m_i = 4 * 12  # angles_per_node * det
+    np.testing.assert_allclose(sino_mse, raw / m_i, rtol=1e-6)
+
+
+def test_run_all_strategies(tmp_path):
+    results = experiment.run_all_strategies(tiny_cfg(), str(tmp_path))
+    assert set(results) == {"mst", "chain", "knn"}
+    for summary in results.values():
+        assert summary["graph"]["connected"]
+        assert np.isfinite(summary["final_primal"])
+
+
+def test_cli_main(tmp_path, capsys):
+    cli.main([
+        "--N", "12", "--nodes", "3", "--angles", "12", "--strategy", "knn",
+        "--k", "1", "--max-iters", "3", "--max-inner", "20",
+        "--eps-pri", "1e-9", "--eps-dual", "1e-9",
+        "--out", str(tmp_path),
+    ])
+    out = json.loads(capsys.readouterr().out)
+    assert "knn" in out
+    assert out["knn"]["n_iters"] == 3
