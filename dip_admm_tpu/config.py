@@ -116,3 +116,7 @@ class ProblemConfig:
     noise_seed: int = 0
     phantom: str = "const"  # "const" | "rand" | "shepp"
     dtype: str = "float32"
+    # Storage dtype of the fft-projector phase tables ("float32" |
+    # "bfloat16"); bf16 halves the traffic that bounds the inner loop at
+    # ~0.1% operator perturbation.
+    fft_table_dtype: str = "float32"

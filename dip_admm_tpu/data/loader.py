@@ -238,8 +238,13 @@ def build_problem(
     if mode == "fft":
         from dip_admm_tpu.ops import radon_fft
 
+        tdt = jnp.dtype(cfg.fft_table_dtype)
         fft_tables = jax.jit(
-            jax.vmap(lambda a, v: radon_fft.precompute_phases(geo, a, v))
+            jax.vmap(
+                lambda a, v: radon_fft.precompute_phases(
+                    geo, a, v, table_dtype=tdt
+                )
+            )
         )(angles, valid)
 
     # Clean sinograms via the same operator the solver uses.

@@ -118,14 +118,20 @@ def _branch_phases(A, B, C, N: int, D: int, Np: int, mask=None):
     return H, delta
 
 
-def precompute_phases(cfg: GeometryConfig, angles: jnp.ndarray, valid=None):
+def precompute_phases(
+    cfg: GeometryConfig, angles: jnp.ndarray, valid=None,
+    table_dtype=jnp.float32,
+):
     """Geometry-only tables for :func:`project`.
 
     Only the shift-filter phase tensors H (the expensive exponentials) are
-    materialized; the 2-sparse evaluation weights are rebuilt on the fly from
-    the small coefficient vectors (storing them would double the footprint
-    for pure hat arithmetic). Inactive-branch angles are masked to zero in H
-    so the two branch outputs simply add.
+    materialized — stored as separate real/imaginary planes so the apply-time
+    contraction runs in real arithmetic and the storage dtype is free to be
+    bfloat16 (``table_dtype=jnp.bfloat16`` halves the HBM traffic that bounds
+    the inner loop, at ~0.1% operator perturbation). The 2-sparse evaluation
+    weights are rebuilt on the fly from the small coefficient vectors.
+    Inactive-branch angles are masked to zero in H so the two branch outputs
+    simply add.
     """
     N, D = cfg.N, cfg.n_det
     Np = _padded_len(N, D)
@@ -138,21 +144,34 @@ def precompute_phases(cfg: GeometryConfig, angles: jnp.ndarray, valid=None):
         m_c = m_c * vm
     H_r, d_r = _branch_phases(Ar, Br, Cr, N, D, Np, mask=m_r)
     H_c, d_c = _branch_phases(Ac, Bc, Cc, N, D, Np, mask=m_c)
-    # Np is recoverable from the (static) H shapes (Np = 2*(F-1)); keeping it
-    # out of the pytree keeps the tables jit-transparent.
+    # Np is recoverable from the (static) table shapes (Np = 2*(F-1));
+    # keeping it out of the pytree keeps the tables jit-transparent.
     return {
-        "H_r": H_r, "A_r": Ar, "d_r": d_r, "s_r": sr,
-        "H_c": H_c, "A_c": Ac, "d_c": d_c, "s_c": sc,
+        "Hre_r": jnp.real(H_r).astype(table_dtype),
+        "Him_r": jnp.imag(H_r).astype(table_dtype),
+        "A_r": Ar, "d_r": d_r, "s_r": sr,
+        "Hre_c": jnp.real(H_c).astype(table_dtype),
+        "Him_c": jnp.imag(H_c).astype(table_dtype),
+        "A_c": Ac, "d_c": d_c, "s_c": sc,
     }
 
 
-def _branch_apply(img, H, A, delta, scale, D: int):
-    """rows -FFT-> filter/sum -IFFT-> on-the-fly evaluation matmul."""
+def _branch_apply(img, Hre, Him, A, delta, scale, D: int):
+    """rows -FFT-> filter/sum (real arithmetic) -IFFT-> evaluation matmul."""
     N = img.shape[0]
-    Np = 2 * (H.shape[-1] - 1)
+    Np = 2 * (Hre.shape[-1] - 1)
     rows = jnp.pad(img, ((0, 0), (0, Np - N)))
     rhat = jnp.fft.rfft(rows, axis=1)  # [N, F]
-    ghat = jnp.einsum("nf,tnf->tf", rhat, H)
+    rre = jnp.real(rhat)
+    rim = jnp.imag(rhat)
+    # (rre + i rim) * (Hre + i Him), summed over rows n — as real einsums so
+    # low-precision tables feed f32 accumulation without a complex temp.
+    ein = functools.partial(
+        jnp.einsum, "nf,tnf->tf", preferred_element_type=jnp.float32
+    )
+    g_re = ein(rre, Hre) - ein(rim, Him)
+    g_im = ein(rre, Him) + ein(rim, Hre)
+    ghat = jax.lax.complex(g_re.astype(jnp.float32), g_im.astype(jnp.float32))
     g = jnp.fft.irfft(ghat, n=Np, axis=1).astype(img.dtype)  # [T, Np]
     l_idx = jnp.arange(D, dtype=img.dtype)
     p = A[:, None] * l_idx[None, :] - delta[:, None]  # [T, D] in [0, Np)
@@ -180,8 +199,12 @@ def project(
         tables = precompute_phases(cfg, angles, valid)
     t = tables
     D = cfg.n_det
-    out = _branch_apply(img, t["H_r"], t["A_r"], t["d_r"], t["s_r"], D)
-    out = out + _branch_apply(img.T, t["H_c"], t["A_c"], t["d_c"], t["s_c"], D)
+    out = _branch_apply(
+        img, t["Hre_r"], t["Him_r"], t["A_r"], t["d_r"], t["s_r"], D
+    )
+    out = out + _branch_apply(
+        img.T, t["Hre_c"], t["Him_c"], t["A_c"], t["d_c"], t["s_c"], D
+    )
     return out
 
 
