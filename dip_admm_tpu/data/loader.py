@@ -122,17 +122,23 @@ def make_node_ops(
             lambda s, a, v: radon.backproject(geo, s, a, v)
         )(r.reshape(r.shape[0], -1, D), angles, valid).reshape(r.shape[0], -1)
     elif mode == "fft":
-        from dip_admm_tpu.ops import radon_fft
+        if geo.fan_beam:
+            from dip_admm_tpu.ops import radon_fan as proj_mod
 
+            precompute = proj_mod.precompute_fan
+        else:
+            from dip_admm_tpu.ops import radon_fft as proj_mod
+
+            precompute = proj_mod.precompute_phases
         if tables is None:
-            tables = jax.vmap(
-                lambda a, v: radon_fft.precompute_phases(geo, a, v)
-            )(angles, valid)
+            tables = jax.vmap(lambda a, v: precompute(geo, a, v))(
+                angles, valid
+            )
         fwd = lambda x: jax.vmap(
-            lambda im, a, v, t: radon_fft.project(geo, im, a, v, t)
+            lambda im, a, v, t: proj_mod.project(geo, im, a, v, t)
         )(x.reshape(-1, N, N), angles, valid, tables).reshape(x.shape[0], -1)
         adj = lambda r: jax.vmap(
-            lambda s, a, v, t: radon_fft.backproject(geo, s, a, v, t)
+            lambda s, a, v, t: proj_mod.backproject(geo, s, a, v, t)
         )(r.reshape(r.shape[0], -1, D), angles, valid, tables).reshape(
             r.shape[0], -1
         )
@@ -146,13 +152,16 @@ def _node_colnorms(mode: str, cfg: GeometryConfig, angles, valid, A=None):
     (ref ``block_3_graph_and_precisions.py:21-24``)."""
     if mode == "dense":
         return precisions.weights_from_dense(A)
-    if mode == "fft":
+    if mode == "fft" and not cfg.fan_beam:
         from dip_admm_tpu.ops import radon_fft
 
         W = jax.vmap(lambda a, v: radon_fft.colnorms_sq(cfg, a, v))(
             angles, valid
         )
     else:
+        # joseph mode (exact) and fan+fft mode (the 2-tap gather column
+        # norms are used as the precision heuristic for the rebinned
+        # operator — setup-time only).
         W = jax.vmap(lambda a, v: radon.colnorms_sq(cfg, a, v))(angles, valid)
     return jnp.maximum(W.reshape(W.shape[0], -1), precisions.EPS)
 
@@ -189,6 +198,23 @@ def _estimate_opnorms(mode, geo, angles, valid, A, tables, iters: int = 30):
 
     _, lam = jax.lax.fori_loop(0, iters, body, (v, jnp.zeros(P)))
     return lam
+
+
+def build_fft_tables(cfg: ProblemConfig, angles, valid):
+    """Per-node geometry tables for the fft projector family."""
+    geo = cfg.geometry
+    tdt = jnp.dtype(cfg.fft_table_dtype)
+    if geo.fan_beam:
+        from dip_admm_tpu.ops import radon_fan
+
+        pre = lambda a, v: radon_fan.precompute_fan(geo, a, v, table_dtype=tdt)
+    else:
+        from dip_admm_tpu.ops import radon_fft
+
+        pre = lambda a, v: radon_fft.precompute_phases(
+            geo, a, v, table_dtype=tdt
+        )
+    return jax.jit(jax.vmap(pre))(angles, valid)
 
 
 def build_problem(
@@ -236,16 +262,7 @@ def build_problem(
     # Geometry tables for the fft projector (precomputed once per problem).
     fft_tables = None
     if mode == "fft":
-        from dip_admm_tpu.ops import radon_fft
-
-        tdt = jnp.dtype(cfg.fft_table_dtype)
-        fft_tables = jax.jit(
-            jax.vmap(
-                lambda a, v: radon_fft.precompute_phases(
-                    geo, a, v, table_dtype=tdt
-                )
-            )
-        )(angles, valid)
+        fft_tables = build_fft_tables(cfg, angles, valid)
 
     # Clean sinograms via the same operator the solver uses.
     imgs = jnp.broadcast_to(x_true[None, :], (P, n))

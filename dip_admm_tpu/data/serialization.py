@@ -84,13 +84,11 @@ def load_problem(path: str) -> Problem:
     fft_tables = None
     if mode == "fft":
         # Geometry tables are derived state — rebuild rather than store.
-        import jax
+        from dip_admm_tpu.data.loader import build_fft_tables
 
-        from dip_admm_tpu.ops import radon_fft
-
-        fft_tables = jax.vmap(
-            lambda a, v: radon_fft.precompute_phases(cfg.geometry, a, v)
-        )(jnp.asarray(z["angles"]), jnp.asarray(z["angle_valid"]))
+        fft_tables = build_fft_tables(
+            cfg, jnp.asarray(z["angles"]), jnp.asarray(z["angle_valid"])
+        )
     return Problem(
         fft_tables=fft_tables,
         cfg=cfg,

@@ -53,10 +53,12 @@ def node_angles(cfg: GeometryConfig) -> tuple[np.ndarray, np.ndarray, np.ndarray
     counts = cfg.angles_per_node()
     m_max = max(counts)
     P = cfg.num_nodes
+    # Fan beam orbits the full circle; parallel beam spans [0, pi).
+    span = 2.0 * np.pi if cfg.fan_beam else np.pi
     angles = np.zeros((P, m_max), dtype=np.float64)
     valid = np.zeros((P, m_max), dtype=bool)
     for kk, m_k in enumerate(counts):
-        angles[kk, :m_k] = (np.arange(m_k) + 0.5) * np.pi / m_k
+        angles[kk, :m_k] = (np.arange(m_k) + 0.5) * span / m_k
         valid[kk, :m_k] = True
     return angles, valid, np.asarray(counts)
 

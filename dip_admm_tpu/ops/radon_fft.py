@@ -58,15 +58,21 @@ def _padded_len(N: int, D: int) -> int:
     return 1 << int(np.ceil(np.log2(need)))
 
 
-def _coeffs(cfg: GeometryConfig, angles: jnp.ndarray):
-    """Affine coefficients of fb(t, l, a) = A l + B a + C for both Joseph
-    branches; mirrors the gather implementation's geometry exactly
-    (pixel centers c(i) = -1 + (i+.5) h, detector centers likewise)."""
+def _coeffs(cfg: GeometryConfig, angles: jnp.ndarray, dets=None):
+    """Coefficients of fb(t, l, a) = P(t, l) + B_t a + C_t for both Joseph
+    branches; mirrors the gather implementation's geometry exactly (pixel
+    centers c(i) = -1 + (i+.5) h, detector centers likewise). ``dets``
+    overrides the uniform detector grid with explicit positions [D] (used by
+    the fan-beam rebinning path); P is returned as the per-(t, l) evaluation
+    coordinate array."""
     N, D = cfg.N, cfg.n_det
     h = 2.0 / N
-    det_w = cfg.det_width_factor * 2.0
-    dd = det_w / D
-    d0 = -det_w / 2.0 + 0.5 * dd
+    if dets is None:
+        det_w = cfg.det_width_factor * 2.0
+        dd = det_w / D
+        dets = -det_w / 2.0 + (jnp.arange(D, dtype=jnp.float32) + 0.5) * dd
+    else:
+        dets = jnp.asarray(dets, jnp.float32)
     c0 = -1.0 + 0.5 * h  # first pixel center
     sin = jnp.sin(angles)
     cos = jnp.cos(angles)
@@ -74,21 +80,21 @@ def _coeffs(cfg: GeometryConfig, angles: jnp.ndarray):
     def branch(s, c):
         # x1 = (d - ca * c) / s ; fb = (x1 + 1)/h - 0.5
         safe = jnp.where(jnp.abs(s) < 1e-9, 1e-9, s)
-        A = dd / (h * safe)
+        P = dets[None, :] / (h * safe[:, None])  # [T, D]
         B = -(c / safe)
-        C = (d0 / safe - c0 * (c / safe) + 1.0) / h - 0.5
+        C = (-c0 * (c / safe) + 1.0) / h - 0.5
         scale = h / jnp.abs(safe)
-        return A, B, C, scale
+        return P, B, C, scale
 
     # Branch R: integrate over axis0 rows, interp axis1 (needs |sin|>=|cos|).
-    A_r, B_r, C_r, s_r = branch(sin, cos)
+    P_r, B_r, C_r, s_r = branch(sin, cos)
     # Branch C: on the transposed image, roles of sin/cos swap.
-    A_c, B_c, C_c, s_c = branch(cos, sin)
+    P_c, B_c, C_c, s_c = branch(cos, sin)
     use_r = jnp.abs(sin) >= jnp.abs(cos)
-    return (A_r, B_r, C_r, s_r), (A_c, B_c, C_c, s_c), use_r
+    return (P_r, B_r, C_r, s_r), (P_c, B_c, C_c, s_c), use_r
 
 
-def _branch_phases(A, B, C, N: int, D: int, Np: int, mask=None):
+def _branch_phases(P, B, C, N: int, Np: int, mask=None):
     """Shift-filter phase table H [T, N, F] (complex64) for one branch.
 
     H depends only on the geometry, so callers should precompute it once per
@@ -100,8 +106,8 @@ def _branch_phases(A, B, C, N: int, D: int, Np: int, mask=None):
     F = Np // 2 + 1
     f = jnp.arange(F, dtype=jnp.float32)
     a_idx = jnp.arange(N, dtype=jnp.float32)
-    l_last = jnp.asarray(D - 1, jnp.float32)
-    delta = jnp.floor(jnp.minimum(A * 0.0, A * l_last))  # [T]
+    # Recenter so evaluation points P - delta stay in [0, Np).
+    delta = jnp.floor(jnp.min(P, axis=1))  # [T]
     sigma = B[:, None] * a_idx[None, :] + C[:, None] + delta[:, None]  # [T,N]
     k = jnp.floor(sigma)
     fr = sigma - k
@@ -120,7 +126,7 @@ def _branch_phases(A, B, C, N: int, D: int, Np: int, mask=None):
 
 def precompute_phases(
     cfg: GeometryConfig, angles: jnp.ndarray, valid=None,
-    table_dtype=jnp.float32,
+    table_dtype=jnp.float32, dets=None,
 ):
     """Geometry-only tables for :func:`project`.
 
@@ -135,29 +141,31 @@ def precompute_phases(
     """
     N, D = cfg.N, cfg.n_det
     Np = _padded_len(N, D)
-    (Ar, Br, Cr, sr), (Ac, Bc, Cc, sc), use_r = _coeffs(cfg, angles)
+    (Pr, Br, Cr, sr), (Pc, Bc, Cc, sc), use_r = _coeffs(cfg, angles, dets)
     m_r = use_r.astype(jnp.float32)
     m_c = 1.0 - m_r
     if valid is not None:
         vm = valid.astype(jnp.float32)
         m_r = m_r * vm
         m_c = m_c * vm
-    H_r, d_r = _branch_phases(Ar, Br, Cr, N, D, Np, mask=m_r)
-    H_c, d_c = _branch_phases(Ac, Bc, Cc, N, D, Np, mask=m_c)
+    H_r, d_r = _branch_phases(Pr, Br, Cr, N, Np, mask=m_r)
+    H_c, d_c = _branch_phases(Pc, Bc, Cc, N, Np, mask=m_c)
     # Np is recoverable from the (static) table shapes (Np = 2*(F-1));
     # keeping it out of the pytree keeps the tables jit-transparent.
     return {
         "Hre_r": jnp.real(H_r).astype(table_dtype),
         "Him_r": jnp.imag(H_r).astype(table_dtype),
-        "A_r": Ar, "d_r": d_r, "s_r": sr,
+        "p_r": Pr - d_r[:, None], "s_r": sr,
         "Hre_c": jnp.real(H_c).astype(table_dtype),
         "Him_c": jnp.imag(H_c).astype(table_dtype),
-        "A_c": Ac, "d_c": d_c, "s_c": sc,
+        "p_c": Pc - d_c[:, None], "s_c": sc,
     }
 
 
-def _branch_apply(img, Hre, Him, A, delta, scale, D: int):
-    """rows -FFT-> filter/sum (real arithmetic) -IFFT-> evaluation matmul."""
+def _branch_apply(img, Hre, Him, p, scale):
+    """rows -FFT-> filter/sum (real arithmetic) -IFFT-> evaluation matmul.
+
+    ``p`` [T, D]: recentered evaluation coordinates in [0, Np)."""
     N = img.shape[0]
     Np = 2 * (Hre.shape[-1] - 1)
     rows = jnp.pad(img, ((0, 0), (0, Np - N)))
@@ -173,8 +181,6 @@ def _branch_apply(img, Hre, Him, A, delta, scale, D: int):
     g_im = ein(rre, Him) + ein(rim, Hre)
     ghat = jax.lax.complex(g_re.astype(jnp.float32), g_im.astype(jnp.float32))
     g = jnp.fft.irfft(ghat, n=Np, axis=1).astype(img.dtype)  # [T, Np]
-    l_idx = jnp.arange(D, dtype=img.dtype)
-    p = A[:, None] * l_idx[None, :] - delta[:, None]  # [T, D] in [0, Np)
     v_idx = jnp.arange(Np, dtype=img.dtype)
     w = jnp.maximum(0.0, 1.0 - jnp.abs(p[:, :, None] - v_idx[None, None, :]))
     out = jnp.einsum("tdv,tv->td", w, g)
@@ -198,13 +204,8 @@ def project(
     if tables is None:
         tables = precompute_phases(cfg, angles, valid)
     t = tables
-    D = cfg.n_det
-    out = _branch_apply(
-        img, t["Hre_r"], t["Him_r"], t["A_r"], t["d_r"], t["s_r"], D
-    )
-    out = out + _branch_apply(
-        img.T, t["Hre_c"], t["Him_c"], t["A_c"], t["d_c"], t["s_c"], D
-    )
+    out = _branch_apply(img, t["Hre_r"], t["Him_r"], t["p_r"], t["s_r"])
+    out = out + _branch_apply(img.T, t["Hre_c"], t["Him_c"], t["p_c"], t["s_c"])
     return out
 
 
@@ -238,19 +239,17 @@ def colnorms_sq(
     (setup-time only; lax.map over chunks bounds memory)."""
     if cfg.fan_beam:
         raise NotImplementedError
-    N, D = cfg.N, cfg.n_det
-    Np = _padded_len(N, D)
-    (Ar, Br, Cr, sr), (Ac, Bc, Cc, sc), use_r = _coeffs(cfg, angles)
+    N = cfg.N
+    (Pr, Br, Cr, sr), (Pc, Bc, Cc, sc), use_r = _coeffs(cfg, angles)
     T = angles.shape[0]
     vmask = jnp.ones((T,), bool) if valid is None else valid
 
-    l_idx = jnp.arange(D, dtype=jnp.float32)
     i_idx = jnp.arange(N, dtype=jnp.float32)
     a_idx = jnp.arange(N, dtype=jnp.float32)
 
-    def weights_one_angle(A, B, C, scale):
+    def weights_one_angle(P, B, C, scale):
         # composite weight w[l, a, i] = sum_{r in 0,1} hv_r * hat(v_r+sig-i)
-        p = A * l_idx  # [D] (delta recentring cancels in p - v + sigma)
+        p = P  # [D] (delta recentring cancels in p - v + sigma)
         v0 = jnp.floor(p)
         fp = p - v0
         sig = B * a_idx + C  # [N]
@@ -267,8 +266,8 @@ def colnorms_sq(
 
     def body(carry, t):
         Wacc = carry
-        wr = weights_one_angle(Ar[t], Br[t], Cr[t], sr[t])
-        wc = weights_one_angle(Ac[t], Bc[t], Cc[t], sc[t]).T
+        wr = weights_one_angle(Pr[t], Br[t], Cr[t], sr[t])
+        wc = weights_one_angle(Pc[t], Bc[t], Cc[t], sc[t]).T
         w = jnp.where(use_r[t], wr, wc) * vmask[t]
         return Wacc + w, None
 
