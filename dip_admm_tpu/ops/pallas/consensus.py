@@ -33,11 +33,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Kernel block layouts (TPU tiling rule: the last two dims of every VMEM
+# block must be (multiple-of-8 | full, multiple-of-128 | full)): all arrays
+# carry a singleton axis so blocks are [.., 1, tile] with the "1" equal to
+# its full dimension; scalar edge masks / reduction outputs live in SMEM,
+# which is exempt.
+
+
 def _kernel_midpoint(x_ref, y_ref, z_ref, at_ref, adj_ref,
                      zn_ref, yn_ref, pri_ref, dz2_ref):
     t = pl.program_id(2)
-    adj = adj_ref[0, 0]
-    x = x_ref[0, :]
+    adj = adj_ref[0, 0, 0, 0]
+    x = x_ref[0, 0, :]
     y = y_ref[0, 0, :]
     z_old = z_ref[0, 0, :]
     a_t = at_ref[0, 0, :]
@@ -53,23 +60,23 @@ def _kernel_midpoint(x_ref, y_ref, z_ref, at_ref, adj_ref,
 
     @pl.when(t == 0)
     def _():
-        pri_ref[0, 0] = 0.0
-        dz2_ref[0, 0] = 0.0
+        pri_ref[0, 0, 0, 0] = 0.0
+        dz2_ref[0, 0, 0, 0] = 0.0
 
-    pri_ref[0, 0] += pri_part
-    dz2_ref[0, 0] += dz2_part
+    pri_ref[0, 0, 0, 0] += pri_part
+    dz2_ref[0, 0, 0, 0] += dz2_part
 
 
 def _kernel_weighted(x_ref, y_ref, z_ref, at_ref, adj_ref, wi_ref, wj_ref,
                      zn_ref, yn_ref, pri_ref, dz2_ref):
     t = pl.program_id(2)
-    adj = adj_ref[0, 0]
-    x = x_ref[0, :]
+    adj = adj_ref[0, 0, 0, 0]
+    x = x_ref[0, 0, :]
     y = y_ref[0, 0, :]
     z_old = z_ref[0, 0, :]
     a_t = at_ref[0, 0, :]
-    wi = wi_ref[0, :]
-    wj = wj_ref[0, :]
+    wi = wi_ref[0, 0, :]
+    wj = wj_ref[0, 0, :]
     a = x + y
     zn = ((wi * a + wj * a_t) / (wi + wj)) * adj
     yn = (y + x - zn) * adj
@@ -80,11 +87,11 @@ def _kernel_weighted(x_ref, y_ref, z_ref, at_ref, adj_ref, wi_ref, wj_ref,
 
     @pl.when(t == 0)
     def _():
-        pri_ref[0, 0] = 0.0
-        dz2_ref[0, 0] = 0.0
+        pri_ref[0, 0, 0, 0] = 0.0
+        dz2_ref[0, 0, 0, 0] = 0.0
 
-    pri_ref[0, 0] += jnp.sum(dpri * dpri)
-    dz2_ref[0, 0] += jnp.sum(dz * dz)
+    pri_ref[0, 0, 0, 0] += jnp.sum(dpri * dpri)
+    dz2_ref[0, 0, 0, 0] += jnp.sum(dz * dz)
 
 
 @functools.partial(
@@ -110,37 +117,48 @@ def consensus_update(
     assert n % tile == 0, (n, tile)
     grid = (P_loc, P, n // tile)
     dtype = x.dtype
+    # TPU tiling rule: the last two dims of a VMEM block must be
+    # (multiple-of-8 | full-dim, multiple-of-128 | full-dim). Flattening the
+    # (i, j) pair axes into the unconstrained leading dim and carrying a
+    # singleton middle axis makes every block [1, 1(full), tile].
+    Pp = P_loc * P
+    pair = lambda M: M.reshape(Pp, 1, n)
+    x3 = x[:, None, :]  # [P_loc, 1, n]
 
     pair_spec = pl.BlockSpec(
-        (1, 1, tile), lambda i, j, t: (i, j, t), memory_space=pltpu.VMEM
+        (1, 1, tile), lambda i, j, t: (i * P + j, 0, t),
+        memory_space=pltpu.VMEM,
     )
-    x_spec = pl.BlockSpec((1, tile), lambda i, j, t: (i, t),
+    x_spec = pl.BlockSpec((1, 1, tile), lambda i, j, t: (i, 0, t),
                           memory_space=pltpu.VMEM)
-    adj_spec = pl.BlockSpec((1, 1), lambda i, j, t: (i, j),
+    # Scalars as [P_loc, P, 1, 1] so the (1, 1) trailing block dims equal
+    # the full array dims (the tiling rule applies to SMEM blocks too).
+    adj_spec = pl.BlockSpec((1, 1, 1, 1), lambda i, j, t: (i, j, 0, 0),
                             memory_space=pltpu.SMEM)
-    red_spec = pl.BlockSpec((1, 1), lambda i, j, t: (i, j),
+    red_spec = pl.BlockSpec((1, 1, 1, 1), lambda i, j, t: (i, j, 0, 0),
                             memory_space=pltpu.SMEM)
     out_shape = (
-        jax.ShapeDtypeStruct((P_loc, P, n), dtype),  # z_new
-        jax.ShapeDtypeStruct((P_loc, P, n), dtype),  # y_new
-        jax.ShapeDtypeStruct((P_loc, P), dtype),  # pri partials
-        jax.ShapeDtypeStruct((P_loc, P), dtype),  # dz2 partials
+        jax.ShapeDtypeStruct((Pp, 1, n), dtype),  # z_new
+        jax.ShapeDtypeStruct((Pp, 1, n), dtype),  # y_new
+        jax.ShapeDtypeStruct((P_loc, P, 1, 1), dtype),  # pri partials
+        jax.ShapeDtypeStruct((P_loc, P, 1, 1), dtype),  # dz2 partials
     )
     out_specs = (pair_spec, pair_spec, red_spec, red_spec)
 
     if fusion == "midpoint":
-        return pl.pallas_call(
+        zn, yn, pri, dz2 = pl.pallas_call(
             _kernel_midpoint,
             grid=grid,
             in_specs=[x_spec, pair_spec, pair_spec, pair_spec, adj_spec],
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
-        )(x, y, z, a_t, adjm.astype(dtype))
+        )(x3, pair(y), pair(z), pair(a_t),
+          adjm.astype(dtype).reshape(P_loc, P, 1, 1))
     elif fusion == "weighted":
-        wj_spec = pl.BlockSpec((1, tile), lambda i, j, t: (j, t),
+        wj_spec = pl.BlockSpec((1, 1, tile), lambda i, j, t: (j, 0, t),
                                memory_space=pltpu.VMEM)
-        return pl.pallas_call(
+        zn, yn, pri, dz2 = pl.pallas_call(
             _kernel_weighted,
             grid=grid,
             in_specs=[x_spec, pair_spec, pair_spec, pair_spec, adj_spec,
@@ -148,8 +166,17 @@ def consensus_update(
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
-        )(x, y, z, a_t, adjm.astype(dtype), w_own, w_all)
-    raise ValueError(fusion)
+        )(x3, pair(y), pair(z), pair(a_t),
+          adjm.astype(dtype).reshape(P_loc, P, 1, 1),
+          w_own[:, None, :], w_all[:, None, :])
+    else:
+        raise ValueError(fusion)
+    return (
+        zn.reshape(P_loc, P, n),
+        yn.reshape(P_loc, P, n),
+        pri.reshape(P_loc, P),
+        dz2.reshape(P_loc, P),
+    )
 
 
 def consensus_update_reference(x, y, z, a_t, adjm, w_own=None, w_all=None,
