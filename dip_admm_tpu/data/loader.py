@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +28,7 @@ import numpy as np
 
 from dip_admm_tpu.config import GeometryConfig, ProblemConfig
 from dip_admm_tpu.graph import precisions, topology
-from dip_admm_tpu.ops import linalg, phantoms, radon
+from dip_admm_tpu.ops import phantoms, radon
 
 
 @jax.tree_util.register_dataclass
@@ -222,6 +222,7 @@ def build_problem(
     dense: Optional[bool] = None,
     phantom_array: Optional[np.ndarray] = None,
     mode: Optional[str] = None,
+    per_node_phantoms: bool = False,
 ) -> Problem:
     """Assemble a :class:`Problem` from configuration.
 
@@ -229,6 +230,13 @@ def build_problem(
     reference's representation) and "fft" above (gather-free matrix-free
     projector). ``dense=True/False`` is a convenience alias for
     mode="dense"/"joseph".
+
+    ``per_node_phantoms=True`` reproduces the reference build-mode loader's
+    behavior of measuring a *different* randomized phantom per node
+    (``block_2_load_odl_data.py:134-137``), with node 0's phantom as the
+    ground-truth reference (``:170``); the default single shared phantom
+    matches the flagship pipeline (``block_2_test.py:48-51``).
+    ``phantom_array`` may be one [N, N] array or a list of P arrays.
     """
     geo = cfg.geometry
     N, P, D = geo.N, geo.num_nodes, geo.n_det
@@ -244,11 +252,23 @@ def build_problem(
     angles = jnp.asarray(angles_np, dtype=dtype)
     valid = jnp.asarray(valid_np)
 
-    # Phantom (one shared ground truth across nodes, like the flagship
-    # pipeline: ``block_2_test.py:48-51``).
-    if phantom_array is None:
-        phantom_array = phantoms.make_phantom(cfg.phantom, N, seed=cfg.noise_seed)
-    x_true = jnp.asarray(np.asarray(phantom_array), dtype=dtype).reshape(-1)
+    # Phantoms: one shared ground truth (flagship pipeline,
+    # ``block_2_test.py:48-51``) or one per node (build-mode loader,
+    # ``block_2_load_odl_data.py:134-137``) with node 0 as the reference.
+    if isinstance(phantom_array, (list, tuple)):
+        assert len(phantom_array) == P
+        node_phantoms = [np.asarray(a) for a in phantom_array]
+    elif phantom_array is not None:
+        node_phantoms = [np.asarray(phantom_array)] * P
+    elif per_node_phantoms:
+        node_phantoms = [
+            phantoms.rand_im(N, seed=cfg.noise_seed + i) for i in range(P)
+        ]
+    else:
+        node_phantoms = [
+            phantoms.make_phantom(cfg.phantom, N, seed=cfg.noise_seed)
+        ] * P
+    x_true = jnp.asarray(node_phantoms[0], dtype=dtype).reshape(-1)
 
     # Dense operators if requested.
     A = None
@@ -264,8 +284,11 @@ def build_problem(
     if mode == "fft":
         fft_tables = build_fft_tables(cfg, angles, valid)
 
-    # Clean sinograms via the same operator the solver uses.
-    imgs = jnp.broadcast_to(x_true[None, :], (P, n))
+    # Clean sinograms via the same operator the solver uses, each node
+    # measuring its own phantom.
+    imgs = jnp.stack(
+        [jnp.asarray(ph, dtype=dtype).reshape(-1) for ph in node_phantoms]
+    )
     clean = _jit_forward(mode, geo, angles, valid, A, fft_tables, imgs)
 
     # Noise only on valid measurement rows (sigma * N(0,1),

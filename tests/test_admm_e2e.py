@@ -127,3 +127,18 @@ def test_matrix_free_matches_dense():
     np.testing.assert_allclose(
         np.asarray(r_dense.x), np.asarray(r_free.x), rtol=1e-3, atol=1e-3
     )
+
+
+def test_per_node_phantoms():
+    # Build-mode parity: each node measures its own randomized phantom
+    # (ref block_2_load_odl_data.py:134-137); node 0 is the ground truth.
+    cfg = small_cfg()
+    problem = loader.build_problem(cfg, per_node_phantoms=True)
+    # Sinograms differ across nodes beyond the angle-set differences:
+    # project node 0's phantom with node 1's geometry and compare.
+    import jax.numpy as jnp
+
+    imgs0 = jnp.broadcast_to(problem.x_true[None, :], (3, 256))
+    clean0 = problem.forward(imgs0)
+    diff = np.abs(np.asarray(clean0[1]) - np.asarray(problem.b[1]))
+    assert diff.max() > 1.0  # not just the 0.005 noise
