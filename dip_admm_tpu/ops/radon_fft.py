@@ -48,14 +48,27 @@ from dip_admm_tpu.config import GeometryConfig
 from dip_admm_tpu.ops import radon
 
 
+# Window slack multiplier. Live interpolation coordinates satisfy
+# |fb| <= sqrt(2) * max(N, D) + O(1) (detector width <= image diagonal), and
+# circular reads only alias into the content region [0, N) when
+# |pos| > Np - N, so Np >= (sqrt(2) + 1) * max(N, D) + margin is alias-free.
+# The no-aliasing property is asserted by a test comparing against a 4x pad.
+_PAD_FACTOR = 2.5
+
+
 def _padded_len(N: int, D: int) -> int:
-    """FFT window: must fit row content [0, N) plus the largest |shift| and
-    evaluation-point ranges without circular aliasing into live pixels.
-    Shifts |B_t a + C_t| <= sqrt(2) * (N + D) in the worst case; 4x the
-    max(N, D) rounded to a power of two is comfortably alias-free (asserted
-    numerically in tests)."""
-    need = 4 * max(N, D)
-    return 1 << int(np.ceil(np.log2(need)))
+    """Smallest FFT-friendly (2^a 3^b 5^c) window length >= the alias-free
+    bound _PAD_FACTOR * max(N, D) + 8."""
+    need = int(np.ceil(_PAD_FACTOR * max(N, D))) + 8
+    best = 1 << int(np.ceil(np.log2(need)))
+    k = best
+    for a in range(0, 25):
+        for b in range(0, 3):
+            for c in range(0, 3):
+                v = (2**a) * (3**b) * (5**c)
+                if need <= v < best:
+                    best = v
+    return best
 
 
 def _coeffs(cfg: GeometryConfig, angles: jnp.ndarray, dets=None):

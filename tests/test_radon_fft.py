@@ -135,3 +135,43 @@ def test_reconstruction_via_fft_mode():
     x_true = np.asarray(problem.x_true)
     val = psnr(np.asarray(res.x).mean(axis=0), x_true, data_range=x_true.max())
     assert val > 18.0, val
+
+
+def test_window_alias_free():
+    # The tightened FFT window must give identical projections to a
+    # comfortably oversized one (no circular aliasing into live pixels).
+    N = 40
+    cfg = GeometryConfig(N=N, num_nodes=1, angles_total=36)
+    angles = jnp.asarray(radon.aggregate_angles(cfg), jnp.float32)
+    img = jnp.asarray(
+        np.random.default_rng(3).normal(size=(N, N)).astype(np.float32)
+    )
+    tight = np.asarray(radon_fft.project(cfg, img, angles))
+    orig = radon_fft._PAD_FACTOR
+    try:
+        radon_fft._PAD_FACTOR = 4.0
+        wide = np.asarray(radon_fft.project(cfg, img, angles))
+    finally:
+        radon_fft._PAD_FACTOR = orig
+    np.testing.assert_allclose(tight, wide, rtol=2e-4, atol=2e-4)
+
+
+def test_wide_detector_window():
+    # det wider than the image (det_width_factor > 1) stresses the window
+    # bound from the detector side.
+    N = 24
+    cfg = GeometryConfig(
+        N=N, num_nodes=1, angles_total=16, det_pixels=48, det_width_factor=1.5
+    )
+    angles = jnp.asarray(radon.aggregate_angles(cfg), jnp.float32)
+    img = jnp.asarray(
+        np.random.default_rng(4).normal(size=(N, N)).astype(np.float32)
+    )
+    tight = np.asarray(radon_fft.project(cfg, img, angles))
+    orig = radon_fft._PAD_FACTOR
+    try:
+        radon_fft._PAD_FACTOR = 5.0
+        wide = np.asarray(radon_fft.project(cfg, img, angles))
+    finally:
+        radon_fft._PAD_FACTOR = orig
+    np.testing.assert_allclose(tight, wide, rtol=2e-4, atol=2e-4)
