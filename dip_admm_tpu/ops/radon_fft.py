@@ -57,18 +57,15 @@ _PAD_FACTOR = 2.5
 
 
 def _padded_len(N: int, D: int) -> int:
-    """Smallest FFT-friendly (2^a 3^b 5^c) window length >= the alias-free
-    bound _PAD_FACTOR * max(N, D) + 8."""
+    """Smallest power-of-two window >= the alias-free bound
+    _PAD_FACTOR * max(N, D) + 8.
+
+    Power-of-two only: a measured attempt at tighter mixed-radix windows
+    (e.g. 640 = 2^7*5 at N=256) halved throughput — TPU FFTs and the
+    [.., F]-wide table contractions want pow2/lane-aligned sizes.
+    """
     need = int(np.ceil(_PAD_FACTOR * max(N, D))) + 8
-    best = 1 << int(np.ceil(np.log2(need)))
-    k = best
-    for a in range(0, 25):
-        for b in range(0, 3):
-            for c in range(0, 3):
-                v = (2**a) * (3**b) * (5**c)
-                if need <= v < best:
-                    best = v
-    return best
+    return 1 << int(np.ceil(np.log2(need)))
 
 
 def _coeffs(cfg: GeometryConfig, angles: jnp.ndarray, dets=None):
