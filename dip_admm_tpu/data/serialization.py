@@ -121,6 +121,39 @@ def save_checkpoint(path: str, state: AdmmState, hist: dict) -> None:
     )
 
 
+def save_checkpoint_orbax(path: str, state: AdmmState, hist: dict) -> None:
+    """Orbax-backed checkpoint (async-capable, multi-host aware) of the same
+    payload as :func:`save_checkpoint`."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(
+        os.path.abspath(path),
+        {"state": state._asdict() | {"node": state.node._asdict()},
+         "hist": dict(hist)},
+        force=True,
+    )
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(path: str) -> tuple[AdmmState, dict]:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    payload = ckptr.restore(os.path.abspath(path))
+    s = payload["state"]
+    node = NodeState(**{k: jnp.asarray(v) for k, v in s["node"].items()})
+    state = AdmmState(
+        node=node,
+        Z=jnp.asarray(s["Z"]),
+        Y=jnp.asarray(s["Y"]),
+        k=jnp.asarray(s["k"]),
+        stop=jnp.asarray(s["stop"]),
+    )
+    hist = {k: jnp.asarray(v) for k, v in payload["hist"].items()}
+    return state, hist
+
+
 def load_checkpoint(path: str) -> tuple[AdmmState, dict]:
     z = np.load(path)
     state = AdmmState(

@@ -94,3 +94,17 @@ def test_snapshots(tmp_path):
     # Snapshots at iterations 2, 4, 6 for each of 3 nodes.
     assert len(files) == 9
     assert files[0].startswith("iter_0002_")
+
+
+def test_checkpoint_orbax_roundtrip(tmp_path):
+    problem = loader.build_problem(_cfg(max_iters=6))
+    part = admm.run_admm(problem, until=3)
+    path = str(tmp_path / "orbax_ckpt")
+    serialization.save_checkpoint_orbax(path, part.state, part.history)
+    state, hist = serialization.load_checkpoint_orbax(path)
+    assert int(state.k) == 3
+    resumed = admm.run_admm(problem, problem.cfg.admm, state=state, hist=hist)
+    full = admm.run_admm(problem)
+    np.testing.assert_allclose(
+        np.asarray(resumed.x), np.asarray(full.x), rtol=1e-6, atol=1e-6
+    )
