@@ -28,7 +28,6 @@ pixel centers c(i) = -1 + (i + 0.5) * h with h = 2/N. A parallel-beam ray for
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from dip_admm_tpu.config import GeometryConfig
 from dip_admm_tpu.ops import radon, radon_fft

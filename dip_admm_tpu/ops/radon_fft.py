@@ -32,8 +32,8 @@ Angles with |cos| > |sin| use the transposed image (branch C), mirroring
 ``ops.radon``. The adjoint comes from ``jax.linear_transpose`` and contains
 only transposed FFTs/matmuls — still gather/scatter-free.
 
-Restriction: parallel-beam geometries (per-ray affine structure). Fan-beam
-stays on the dense or gather path.
+Directly supports parallel-beam geometries (per-ray affine structure);
+fan-beam reuses this projector through angular rebinning (``ops.radon_fan``).
 """
 
 from __future__ import annotations
@@ -45,7 +45,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from dip_admm_tpu.config import GeometryConfig
-from dip_admm_tpu.ops import radon
 
 
 # Window slack multiplier. Live interpolation coordinates satisfy

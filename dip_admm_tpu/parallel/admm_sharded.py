@@ -22,14 +22,13 @@ The iteration body is shared with the single-device path
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as PS
 
-from dip_admm_tpu.config import AdmmConfig, ProblemConfig
+from dip_admm_tpu.config import AdmmConfig
 from dip_admm_tpu.core import admm as core_admm
 from dip_admm_tpu.core import node_solver
 from dip_admm_tpu.core.admm import AdmmResult, AdmmState, CommOps, NodeBlockData

@@ -46,6 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard nodes over this many devices")
     p.add_argument("--matrix-free", action="store_true",
                    help="force the matrix-free projector")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler device trace into this dir")
     return p
 
 
@@ -93,11 +95,19 @@ def main(argv=None) -> None:
 
     from dip_admm_tpu.runners import experiment
 
-    if args.all_strategies:
-        results = experiment.run_all_strategies(cfg, out_root, mesh=mesh)
-    else:
+    def go():
+        if args.all_strategies:
+            return experiment.run_all_strategies(cfg, out_root, mesh=mesh)
         _, _, summary = experiment.run_one_strategy(cfg, out_root, mesh=mesh)
-        results = {args.strategy: summary}
+        return {args.strategy: summary}
+
+    if args.profile_dir:
+        from dip_admm_tpu.utils.profiling import trace
+
+        with trace(args.profile_dir):
+            results = go()
+    else:
+        results = go()
     print(json.dumps(results, indent=2, default=str))
 
 

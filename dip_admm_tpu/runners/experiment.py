@@ -19,7 +19,7 @@ from typing import Optional
 
 import numpy as np
 
-from dip_admm_tpu.config import GraphConfig, ProblemConfig
+from dip_admm_tpu.config import ProblemConfig
 from dip_admm_tpu.core import admm
 from dip_admm_tpu.data import loader
 from dip_admm_tpu.graph import topology
