@@ -119,10 +119,24 @@ def solve_nodes(
         return (k < cfg.max_inner) & active
 
     def body(carry):
-        st, k, _, _ = carry
+        st, k, g_prev, _ = carry
         st = jax.lax.fori_loop(0, cfg.check_every, cv_step, st)
         g_norm = jnp.linalg.norm(g_residual(st.x), axis=1)
-        active = any_reduce(jnp.any(g_norm > eps_k))
+        unmet = jnp.any(g_norm > eps_k)
+        if cfg.plateau_tol > 0:
+            # The normalized-subgradient residual has an irreducible floor at
+            # TV optima with flat regions; once no node improves by more than
+            # plateau_tol between checks, further iterations are wasted
+            # (mirrors SCS stopping at its own tolerance).
+            improving = jnp.any(
+                jnp.where(
+                    jnp.isinf(g_prev),  # first check: no baseline yet
+                    True,
+                    (g_prev - g_norm) > cfg.plateau_tol * jnp.abs(g_prev),
+                )
+            )
+            unmet = unmet & improving
+        active = any_reduce(unmet)
         return st, k + cfg.check_every, g_norm, active
 
     g0 = jnp.full((P,), jnp.inf, dtype)
