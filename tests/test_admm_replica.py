@@ -86,3 +86,65 @@ def test_trajectory_matches_closed_form():
     np.testing.assert_allclose(
         np.asarray(res.x), x_ref, rtol=1e-2, atol=1e-2 * np.abs(x_ref).max()
     )
+
+
+def numpy_admm_weighted(A, b, Q, W, adj, rho, iters):
+    """Numpy replica with the eq. 2 W-weighted fusion
+    z = (W_i a_i + W_j a_j) / (W_i + W_j)."""
+    P, m, n = A.shape
+    x = np.zeros((P, n))
+    z = np.zeros((P, P, n))
+    y = np.zeros((P, P, n))
+    AtA = np.einsum("pmn,pmk->pnk", A, A)
+    Atb = np.einsum("pmn,pm->pn", A, b)
+    pri_hist = []
+    for _ in range(iters):
+        v = z - y
+        for i in range(P):
+            D = Q[i].sum(axis=0)
+            b_cons = (Q[i] * v[i]).sum(axis=0)
+            x[i] = np.linalg.solve(
+                AtA[i] + rho * np.diag(D), Atb[i] + rho * b_cons
+            )
+        a = x[:, None, :] + y
+        wi = W[:, None, :]
+        wj = W[None, :, :]
+        zn = ((wi * a + wj * a.transpose(1, 0, 2)) / (wi + wj)) * adj[
+            :, :, None
+        ]
+        y = (y + x[:, None, :] - zn) * adj[:, :, None]
+        pri_hist.append(
+            np.sqrt(np.sum(((x[:, None, :] - zn) * adj[:, :, None]) ** 2))
+        )
+        z = zn
+    return x, np.array(pri_hist)
+
+
+def test_weighted_fusion_trajectory():
+    cfg = ProblemConfig(
+        geometry=GeometryConfig(N=12, num_nodes=3, angles_total=18),
+        graph=GraphConfig(strategy="knn", k=1, seed=123),
+        admm=AdmmConfig(
+            lam_tv=0.0, rho=2.0, max_iters=6, eps_pri=1e-12, eps_dual=1e-12,
+            z_fusion="weighted",
+            node=NodeSolverConfig(
+                max_inner=4000, check_every=100, eps0=1e-3, gamma_decay=0.0,
+                plateau_tol=0.0,
+            ),
+        ),
+        noise_level=0.005,
+        phantom="const",
+    )
+    problem = loader.build_problem(cfg, mode="dense")
+    res = admm.run_admm(problem)
+    x_ref, pri_ref = numpy_admm_weighted(
+        np.asarray(problem.A), np.asarray(problem.b), np.asarray(problem.Q),
+        np.asarray(problem.W), np.asarray(problem.adj).astype(float),
+        rho=2.0, iters=6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.history["primal"])[:6], pri_ref, rtol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.x), x_ref, rtol=1e-2, atol=1e-2 * np.abs(x_ref).max()
+    )

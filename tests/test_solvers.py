@@ -103,3 +103,31 @@ def test_graph_problem_soft_edges_exact():
     M = np.array([[1 + q, -q], [-q, 1 + q]])
     expected = np.linalg.solve(M, np.array([t0, t1]))
     np.testing.assert_allclose(np.asarray(x).ravel(), expected, atol=1e-3)
+
+
+def test_pdhg_residual_anchor_variant(problem):
+    cfg = pdhg_consensus.PdhgConsensusConfig(
+        n_outer=20, anchor_weights="residual"
+    )
+    res = pdhg_consensus.solve(problem, cfg)
+    img = np.asarray(res.img_mse_nodes)
+    assert np.isfinite(img).all()
+    assert (img[-1] < img[0]).all()
+
+
+def test_graph_problem_with_tv():
+    rng = np.random.default_rng(2)
+    n_side, n = 8, 64
+    gp = graph_problem.GraphProblem(n_side)
+    base = np.zeros((n_side, n_side), np.float32)
+    base[2:6, 2:6] = 5.0
+    target = base.reshape(-1)
+    for _ in range(2):
+        A = np.eye(n, dtype=np.float32)
+        b = target + rng.normal(scale=0.3, size=n).astype(np.float32)
+        gp.add_node(A=A, b=b, lam_tv=0.1)
+    gp.add_edge(0, 1, 10.0)
+    x, hist = gp.solve(rho=1.0, max_iters=80)
+    x = np.asarray(x)
+    # TV denoising pulls both nodes toward the piecewise-constant target.
+    assert np.abs(x.mean(axis=0) - target).mean() < 0.25
