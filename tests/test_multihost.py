@@ -73,3 +73,27 @@ def test_sixteen_nodes_on_eight_devices():
         np.asarray(ref.history["primal"]),
         rtol=1e-3,
     )
+
+
+def test_config5_shape_fan_32nodes():
+    # BASELINE.json config 5 topology at test scale: 32 fan-beam nodes,
+    # matrix-free rebinned projector, sharded over 8 devices (4 nodes each).
+    cfg = ProblemConfig(
+        geometry=GeometryConfig(
+            N=16, num_nodes=32, angles_total=128, fan_beam=True,
+            det_width_factor=2.0, src_radius=4.0, det_radius=4.0,
+        ),
+        graph=GraphConfig(strategy="knn", k=2, seed=123),
+        admm=AdmmConfig(
+            lam_tv=0.02, rho=2.0, max_iters=3, eps_pri=1e-9, eps_dual=1e-9,
+            node=NodeSolverConfig(max_inner=20, check_every=10),
+        ),
+        phantom="const",
+    )
+    problem = loader.build_problem(cfg, mode="fft")
+    mesh = multihost.global_mesh(8)
+    dist = multihost.distribute_problem(problem, mesh)
+    res = admm_sharded.run_admm_sharded(dist, mesh=mesh)
+    assert res.x.shape == (32, 256)
+    pri = np.asarray(res.history["primal"])[:3]
+    assert np.isfinite(pri).all()
