@@ -258,48 +258,55 @@ def dense_matrix(
     equal to :func:`project` (tested), and fast on TPU where XLA's gather
     lowering is slow.
     """
-    N, D = cfg.N, cfg.n_det
-    n = N * N
-    h = 2.0 / N
-    dets = jnp.asarray(detector_centers(D, cfg.det_width_factor * 2.0), dtype)
-    c = (-1.0 + (jnp.arange(N, dtype=dtype) + 0.5) * h)  # pixel centers
-    i_idx = jnp.arange(N, dtype=dtype)
-
-    def block_weights(ang_blk, val_blk):
-        p0, p1, u0, u1 = make_rays(cfg, ang_blk)  # each [tc, D]
-        tc = ang_blk.shape[0]
-
-        def branch(p0, p1, u0, u1, transpose):
-            safe = jnp.where(jnp.abs(u0) < 1e-12, 1e-12, u0)
-            slope = u1 / safe
-            # x1 at integration coordinate c(a): [tc, D, N(a)]
-            x1 = p1[:, :, None] + (c[None, None, :] - p0[:, :, None]) * slope[
-                :, :, None
-            ]
-            fb = (x1 + 1.0) / h - 0.5
-            w = jnp.maximum(
-                0.0, 1.0 - jnp.abs(fb[..., None] - i_idx)
-            )  # [tc, D, a, i]
-            w = (h / jnp.abs(safe))[:, :, None, None] * w
-            if transpose:
-                w = jnp.swapaxes(w, 2, 3)  # (i, a) -> image layout (a, i)
-            return w
-
-        w_r = branch(p0, p1, u0, u1, transpose=False)
-        w_c = branch(p1, p0, u1, u0, transpose=True)
-        use_r = (jnp.abs(u0) >= jnp.abs(u1))[:, :, None, None]
-        w = jnp.where(use_r, w_r, w_c)
-        if val_blk is not None:
-            w = w * val_blk[:, None, None, None]
-        return w.reshape(tc * D, n)
-
     T = angles.shape[0]
-    blocks = []
-    for start in range(0, T, chunk):
-        ang_blk = angles[start : start + chunk].astype(dtype)
-        val_blk = None if valid is None else valid[start : start + chunk]
-        blocks.append(jax.jit(block_weights)(ang_blk, val_blk))
-    return jnp.concatenate(blocks, axis=0)
+    # Pad the angle set so every chunk hits the same compiled shape (one
+    # compilation total, cached across chunks, nodes, and problems).
+    T_pad = -(-T // chunk) * chunk
+    angles_p = jnp.zeros((T_pad,), dtype).at[:T].set(angles.astype(dtype))
+    valid_p = jnp.zeros((T_pad,), bool)
+    valid_p = valid_p.at[:T].set(
+        jnp.ones((T,), bool) if valid is None else valid
+    )
+    blocks = [
+        _dense_block(cfg, angles_p[s : s + chunk], valid_p[s : s + chunk])
+        for s in range(0, T_pad, chunk)
+    ]
+    return jnp.concatenate(blocks, axis=0)[: T * cfg.n_det]
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _dense_block(cfg: GeometryConfig, ang_blk, val_blk):
+    """Direct 2-tap Joseph weights for one angle chunk -> [tc*D, n]."""
+    N, D = cfg.N, cfg.n_det
+    dtype = ang_blk.dtype
+    h = 2.0 / N
+    c = -1.0 + (jnp.arange(N, dtype=dtype) + 0.5) * h  # pixel centers
+    i_idx = jnp.arange(N, dtype=dtype)
+    p0, p1, u0, u1 = make_rays(cfg, ang_blk)  # each [tc, D]
+    tc = ang_blk.shape[0]
+
+    def branch(p0, p1, u0, u1, transpose):
+        safe = jnp.where(jnp.abs(u0) < 1e-12, 1e-12, u0)
+        slope = u1 / safe
+        # x1 at integration coordinate c(a): [tc, D, N(a)]
+        x1 = p1[:, :, None] + (c[None, None, :] - p0[:, :, None]) * slope[
+            :, :, None
+        ]
+        fb = (x1 + 1.0) / h - 0.5
+        w = jnp.maximum(
+            0.0, 1.0 - jnp.abs(fb[..., None] - i_idx)
+        )  # [tc, D, a, i]
+        w = (h / jnp.abs(safe))[:, :, None, None] * w
+        if transpose:
+            w = jnp.swapaxes(w, 2, 3)  # (i, a) -> image layout (a, i)
+        return w
+
+    w_r = branch(p0, p1, u0, u1, transpose=False)
+    w_c = branch(p1, p0, u1, u0, transpose=True)
+    use_r = (jnp.abs(u0) >= jnp.abs(u1))[:, :, None, None]
+    w = jnp.where(use_r, w_r, w_c)
+    w = w * val_blk[:, None, None, None]
+    return w.reshape(tc * D, N * N)
 
 
 # ---------------------------------------------------------------------------
