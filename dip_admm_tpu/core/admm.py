@@ -273,10 +273,12 @@ def run_admm(
     return _run_admm_jit(problem, cfg, state, hist, until)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 4))
+@functools.partial(jax.jit, static_argnums=(1,))
 def _run_admm_jit(
-    problem: Problem, cfg: AdmmConfig, state: AdmmState, hist: dict, until: int
+    problem: Problem, cfg: AdmmConfig, state: AdmmState, hist: dict, until
 ) -> AdmmResult:
+    # ``until`` is traced (only compared against the iteration counter), so
+    # segmented runs (snapshots, resume) share one compilation.
     dtype = problem.b.dtype
     data = _block_data(problem, dtype)
     # Lipschitz: ||A^T A|| + rho * max_p sum_j Q_ij[p].
