@@ -81,7 +81,6 @@ class NodeBlockData(NamedTuple):
     W_all: jnp.ndarray  # [P, n] all nodes' weights (replicated)
     L: jnp.ndarray  # [P_loc] Lipschitz bounds
     x_true: jnp.ndarray  # [n]
-    m_valid: jnp.ndarray  # [P_loc] valid measurement counts (for metrics)
     N: int
 
 
@@ -208,10 +207,11 @@ def admm_iteration(
     return new_state, hist
 
 
-def _block_data(problem: Problem, dtype) -> NodeBlockData:
-    P = problem.num_nodes
-    D = problem.cfg.geometry.n_det
-    m_valid = jnp.sum(problem.angle_valid, axis=1) * D
+def _block_data(problem: Problem, cfg: AdmmConfig, dtype) -> NodeBlockData:
+    # Lipschitz bound for the node solves: ||A^T A|| + rho * max_p sum_j Q.
+    L = problem.opnorm + cfg.rho * jnp.max(
+        jnp.sum(problem.Q, axis=1), axis=-1
+    )
     return NodeBlockData(
         fwd=problem.forward,
         adj=problem.adjoint,
@@ -220,10 +220,8 @@ def _block_data(problem: Problem, dtype) -> NodeBlockData:
         adjm=problem.adj.astype(dtype),
         W_own=problem.W,
         W_all=problem.W,
-        L=problem.opnorm
-        + jnp.max(jnp.sum(problem.Q, axis=1), axis=-1),  # rho folded below
+        L=L,
         x_true=problem.x_true,
-        m_valid=m_valid,
         N=problem.N,
     )
 
@@ -280,11 +278,7 @@ def _run_admm_jit(
     # ``until`` is traced (only compared against the iteration counter), so
     # segmented runs (snapshots, resume) share one compilation.
     dtype = problem.b.dtype
-    data = _block_data(problem, dtype)
-    # Lipschitz: ||A^T A|| + rho * max_p sum_j Q_ij[p].
-    data = data._replace(
-        L=problem.opnorm + cfg.rho * jnp.max(jnp.sum(problem.Q, axis=1), axis=-1)
-    )
+    data = _block_data(problem, cfg, dtype)
 
     def cond(carry):
         st, _ = carry

@@ -78,7 +78,6 @@ def run_admm_sharded(
     L = problem.opnorm + cfg.rho * jnp.max(
         jnp.sum(problem.Q, axis=1), axis=-1
     )
-    m_valid = (jnp.sum(problem.angle_valid, axis=1) * D).astype(dtype)
 
     node = PS(NODE_AXIS)
     repl = PS()
@@ -96,8 +95,7 @@ def run_admm_sharded(
 
         data = NodeBlockData(
             fwd=fwd, adj=adj, b=b, Q=Q, adjm=adjm.astype(dtype),
-            W_own=W_blk, W_all=W_all, L=L_blk, x_true=x_true,
-            m_valid=jnp.zeros((P_loc,), dtype), N=N,
+            W_own=W_blk, W_all=W_all, L=L_blk, x_true=x_true, N=N,
         )
         comm = CommOps(
             pair_transpose=_pair_transpose(NODE_AXIS),

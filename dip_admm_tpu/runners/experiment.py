@@ -62,9 +62,9 @@ def run_one_strategy(
     if mesh is not None:
         from dip_admm_tpu.parallel import admm_sharded
 
-        res = admm_sharded.run_admm_sharded(problem, mesh=mesh)
+        res = admm_sharded.run_admm_sharded(problem, cfg.admm, mesh=mesh)
     else:
-        res = admm.run_admm(problem)
+        res = admm.run_admm(problem, cfg.admm)
 
     n_iters = int(res.n_iters)
     x = np.asarray(res.x)
