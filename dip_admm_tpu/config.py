@@ -85,6 +85,11 @@ class NodeSolverConfig:
 
     max_inner: int = 200
     check_every: int = 10
+    # Inner algorithm: "cv" = Condat-Vu (smooth LS part by gradient) or
+    # "ppdhg" = diagonally preconditioned PDHG (Pock-Chambolle steps from
+    # matrix-free |K| row/column sums — the standard CT recipe; typically
+    # converges further within the same budget).
+    algorithm: str = "cv"
     eps0: float = 2.0
     gamma_decay: float = 0.005
     sigma_scale: float = 1.0  # dual step scale relative to default

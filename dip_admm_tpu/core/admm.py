@@ -134,7 +134,7 @@ def admm_iteration(
         1.0 + cfg.node.gamma_decay
     )
     nstate = state.node if cfg.node.warm_start else node_solver.init_state(
-        P_loc, data.N, X.dtype
+        P_loc, data.N, data.b.shape[1], X.dtype
     )._replace(x=state.node.x)
     res = node_solver.solve_nodes(
         data.fwd, data.adj, data.b, D_vec, b_cons, c_quad,
@@ -238,7 +238,7 @@ def init_state(problem: Problem, cfg: AdmmConfig) -> tuple[AdmmState, dict]:
     dtype = problem.b.dtype
     P, n, N = problem.num_nodes, problem.n, problem.N
     state = AdmmState(
-        node=node_solver.init_state(P, N, dtype),
+        node=node_solver.init_state(P, N, problem.m_flat, dtype),
         Z=jnp.zeros((P, P, n), dtype),
         Y=jnp.zeros((P, P, n), dtype),
         k=jnp.int32(0),

@@ -48,6 +48,7 @@ class NodeState(NamedTuple):
     x: jnp.ndarray  # [P, n]
     ux: jnp.ndarray  # [P, N, N] TV dual, x-component
     uy: jnp.ndarray  # [P, N, N] TV dual, y-component
+    ua: jnp.ndarray  # [P, m] data-fit dual (ppdhg algorithm; zeros for cv)
 
 
 class NodeSolveResult(NamedTuple):
@@ -57,11 +58,12 @@ class NodeSolveResult(NamedTuple):
     inner_iters: jnp.ndarray  # scalar: inner iterations used (max over nodes)
 
 
-def init_state(P: int, N: int, dtype=jnp.float32) -> NodeState:
+def init_state(P: int, N: int, m: int, dtype=jnp.float32) -> NodeState:
     return NodeState(
         x=jnp.zeros((P, N * N), dtype),
         ux=jnp.zeros((P, N, N), dtype),
         uy=jnp.zeros((P, N, N), dtype),
+        ua=jnp.zeros((P, m), dtype),
     )
 
 
@@ -95,21 +97,55 @@ def solve_nodes(
         sub = tv.tv_subgradient(x.reshape(P, N, N)).reshape(P, -1)
         return grad_f(x) + lam_tv * sub
 
-    # Balanced step sizes: sigma*||K||^2 = L/2 => tau = 0.99/L, both per node.
-    Ksq = tv.GRAD_OPNORM_SQ
-    sigma = (cfg.sigma_scale * L / (2.0 * Ksq)).astype(dtype)  # [P]
-    tau = (0.99 / (L / 2.0 + sigma * Ksq)).astype(dtype)  # [P]
-    tau_c = tau[:, None]
-    sig_im = sigma[:, None, None]
+    if cfg.algorithm == "cv":
+        # Balanced steps: sigma*||K||^2 = L/2 => tau = 0.99/L, per node.
+        Ksq = tv.GRAD_OPNORM_SQ
+        sigma = (cfg.sigma_scale * L / (2.0 * Ksq)).astype(dtype)  # [P]
+        tau = (0.99 / (L / 2.0 + sigma * Ksq)).astype(dtype)  # [P]
+        tau_c = tau[:, None]
+        sig_im = sigma[:, None, None]
 
-    def cv_step(_, st: NodeState) -> NodeState:
-        x, ux, uy = st
-        ktu = tv.grad_adjoint(ux, uy).reshape(P, -1)
-        x_new = x - tau_c * (grad_f(x) + ktu)
-        xb = (2.0 * x_new - x).reshape(P, N, N)
-        gx, gy = tv.grad(xb)
-        ux, uy = tv.project_l2_ball(ux + sig_im * gx, uy + sig_im * gy, lam_tv)
-        return NodeState(x_new, ux, uy)
+        def inner_step(_, st: NodeState) -> NodeState:
+            x, ux, uy, ua = st
+            ktu = tv.grad_adjoint(ux, uy).reshape(P, -1)
+            x_new = x - tau_c * (grad_f(x) + ktu)
+            xb = (2.0 * x_new - x).reshape(P, N, N)
+            gx, gy = tv.grad(xb)
+            ux, uy = tv.project_l2_ball(
+                ux + sig_im * gx, uy + sig_im * gy, lam_tv
+            )
+            return NodeState(x_new, ux, uy, ua)
+
+    elif cfg.algorithm == "ppdhg":
+        # Diagonally preconditioned PDHG (Pock-Chambolle 2011, alpha=1):
+        # K = [A; grad] entirely in the dual, the consensus quadratic as an
+        # exact elementwise primal prox. Steps tau_j = 1/sum_i|K_ij|,
+        # sigma_i = 1/sum_j|K_ij| — computable matrix-free because every
+        # projector weight is nonnegative (|A| sums = A applied to ones);
+        # convergence is guaranteed with no operator-norm estimation. The
+        # standard recipe for CT (Sidky et al.).
+        n = D_vec.shape[1]
+        rowsum = fwd(jnp.ones((P, n), dtype))  # [P, m] = sum_j |A_ij|
+        colsum = adj(jnp.ones_like(b))  # [P, n] = sum_i |A_ij|
+        sig_a = 1.0 / jnp.maximum(rowsum, 1e-6)
+        # TV rows have two unit entries (sigma = 1/2); TV column sums <= 4.
+        T = (1.0 / (jnp.maximum(colsum, 0.0) + 4.0)).astype(dtype)  # [P, n]
+        rden = 1.0 + T * rho * D_vec
+        rnum = T * rho * b_cons
+
+        def inner_step(_, st: NodeState) -> NodeState:
+            x, ux, uy, ua = st
+            kty = adj(ua) + tv.grad_adjoint(ux, uy).reshape(P, -1)
+            x_new = (x - T * kty + rnum) / rden  # quadratic prox, exact
+            xb = 2.0 * x_new - x
+            v = ua + sig_a * fwd(xb)
+            ua = (v - sig_a * b) / (1.0 + sig_a)  # prox of 0.5||.-b||^2 dual
+            gx, gy = tv.grad(xb.reshape(P, N, N))
+            ux, uy = tv.project_l2_ball(ux + 0.5 * gx, uy + 0.5 * gy, lam_tv)
+            return NodeState(x_new, ux, uy, ua)
+
+    else:
+        raise ValueError(f"unknown inner algorithm {cfg.algorithm!r}")
 
     if any_reduce is None:
         any_reduce = lambda v: v
@@ -120,7 +156,7 @@ def solve_nodes(
 
     def body(carry):
         st, k, g_prev, _ = carry
-        st = jax.lax.fori_loop(0, cfg.check_every, cv_step, st)
+        st = jax.lax.fori_loop(0, cfg.check_every, inner_step, st)
         g_norm = jnp.linalg.norm(g_residual(st.x), axis=1)
         unmet = jnp.any(g_norm > eps_k)
         if cfg.plateau_tol > 0:

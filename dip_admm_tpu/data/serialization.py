@@ -113,6 +113,7 @@ def save_checkpoint(path: str, state: AdmmState, hist: dict) -> None:
         x=np.asarray(state.node.x),
         ux=np.asarray(state.node.ux),
         uy=np.asarray(state.node.uy),
+        ua=np.asarray(state.node.ua),
         Z=np.asarray(state.Z),
         Y=np.asarray(state.Y),
         k=np.asarray(state.k),
@@ -161,6 +162,7 @@ def load_checkpoint(path: str) -> tuple[AdmmState, dict]:
             x=jnp.asarray(z["x"]),
             ux=jnp.asarray(z["ux"]),
             uy=jnp.asarray(z["uy"]),
+            ua=jnp.asarray(z["ua"]),
         ),
         Z=jnp.asarray(z["Z"]),
         Y=jnp.asarray(z["Y"]),

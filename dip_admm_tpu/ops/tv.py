@@ -92,10 +92,15 @@ def project_l2_ball(
     """Per-pixel projection of the dual field onto {|(px,py)|_2 <= radius}.
 
     This is prox of the conjugate of ``radius * ||.||_{2,1}`` — the dual step
-    of the primal-dual node solver.
+    of the primal-dual node solver. ``radius == 0`` (no TV) projects to zero
+    (guarding the 0/0 NaN where the field magnitude is also exactly zero).
     """
     mag = jnp.sqrt(gx**2 + gy**2)
-    factor = 1.0 / jnp.maximum(1.0, mag / radius)
+    r = jnp.asarray(radius, dtype=mag.dtype)
+    safe_r = jnp.maximum(r, jnp.asarray(1e-30, mag.dtype))
+    factor = jnp.where(
+        r > 0, 1.0 / jnp.maximum(1.0, mag / safe_r), 0.0
+    )
     return gx * factor, gy * factor
 
 

@@ -105,7 +105,7 @@ def run_admm_sharded(
             ).astype(bool),
         )
         state = AdmmState(
-            node=node_solver.init_state(P_loc, N, dtype),
+            node=node_solver.init_state(P_loc, N, b.shape[1], dtype),
             Z=jnp.zeros((P_loc, P, n), dtype),
             Y=jnp.zeros((P_loc, P, n), dtype),
             k=jnp.int32(0),
@@ -135,7 +135,7 @@ def run_admm_sharded(
         history=hist_specs,
         n_iters=repl,
         state=AdmmState(
-            node=node_solver.NodeState(x=node, ux=node, uy=node),
+            node=node_solver.NodeState(x=node, ux=node, uy=node, ua=node),
             Z=node, Y=node, k=repl, stop=repl,
         ),
     )

@@ -88,7 +88,8 @@ def _tv_recon_jit(problem: Problem, lam_tv: float, cfg, eps: float):
     zeros = jnp.zeros((1, n), problem.b.dtype)
     res = node_solver.solve_nodes(
         fwd, adj, b, zeros, zeros, jnp.zeros((1,)),
-        lam_tv, 0.0, L, node_solver.init_state(1, N, problem.b.dtype),
+        lam_tv, 0.0, L,
+        node_solver.init_state(1, N, b.shape[1], problem.b.dtype),
         jnp.asarray(eps), cfg, N,
     )
     return res.state.x[0], res.g_norm[0]

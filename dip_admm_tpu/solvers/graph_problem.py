@@ -193,7 +193,7 @@ class GraphProblem:
             _, _, _, k, stop, _ = carry
             return (k < max_iters) & ~stop
 
-        st0 = node_solver.init_state(P, N, dtype)
+        st0 = node_solver.init_state(P, N, b_full.shape[1], dtype)
         Z0 = jnp.zeros((P, P, n), dtype)
         Y0 = jnp.zeros((P, P, n), dtype)
         h0 = {

@@ -45,7 +45,8 @@ def test_ridge_oracle_no_tv():
     L = opnorm + rho * mu
     res = node_solver.solve_nodes(
         fwd, adj, b, D_vec, jnp.zeros((P, n)), jnp.zeros(P),
-        0.0, rho, L, node_solver.init_state(P, N), jnp.asarray(1e-5), cfg, N,
+        0.0, rho, L, node_solver.init_state(P, N, b.shape[1]),
+        jnp.asarray(1e-5), cfg, N,
     )
     for i in range(P):
         expected = np.asarray(linalg.ridge_solve(A[i], b[i], rho * mu))
@@ -86,7 +87,7 @@ def test_tv_cross_algorithm_agreement():
     cfg = NodeSolverConfig(max_inner=6000, check_every=100)
     res = node_solver.solve_nodes(
         fwd, adj, b, D_vec, b_cons, jnp.zeros(P), lam_tv, rho, L,
-        node_solver.init_state(P, N), jnp.asarray(1e-6), cfg, N,
+        node_solver.init_state(P, N, b.shape[1]), jnp.asarray(1e-6), cfg, N,
     )
     x_fista = _fista_tv_reference(
         A[0], b[0], D_vec[0], b_cons[0], lam_tv, rho, float(L[0]), N, iters=800
@@ -114,10 +115,71 @@ def test_warm_start_reduces_iterations():
     L = opnorm + 1.0 * 0.4
     args = (fwd, adj, b, D_vec, jnp.zeros((P, n)), jnp.zeros(P), 0.01, 1.0, L)
     cold = node_solver.solve_nodes(
-        *args, node_solver.init_state(P, N), jnp.asarray(1e-4), cfg, N
+        *args, node_solver.init_state(P, N, b.shape[1]),
+        jnp.asarray(1e-4), cfg, N,
     )
     warm = node_solver.solve_nodes(
         *args, cold.state, jnp.asarray(1e-4), cfg, N
     )
     assert int(warm.inner_iters) <= int(cold.inner_iters)
     assert float(jnp.max(warm.g_norm)) <= 1e-4 * 1.5
+
+
+def test_ppdhg_ridge_oracle():
+    # The preconditioned-PDHG algorithm must reach the same ridge solution.
+    # Its |K| row/column sums are computed matrix-free via A(ones)/A^T(ones),
+    # which assumes a *nonnegative* operator — true for every projector in
+    # this framework; the test operator honors that.
+    A, b, fwd, adj, opnorm, N = _random_problem()
+    A = jnp.abs(A)
+    fwd = lambda x: jnp.einsum("pmn,pn->pm", A, x)
+    adj = lambda r: jnp.einsum("pmn,pm->pn", A, r)
+    b = fwd(jnp.asarray(
+        np.random.default_rng(5).normal(size=(A.shape[0], A.shape[2]))
+    ).astype(jnp.float32))
+    P, m, n = A.shape
+    mu, rho = 0.5, 2.0
+    D_vec = jnp.full((P, n), mu)
+    cfg = NodeSolverConfig(max_inner=4000, check_every=50, algorithm="ppdhg",
+                           plateau_tol=0.0)
+    L = jnp.stack([
+        linalg.power_method(lambda v, Ai=A[i]: Ai.T @ (Ai @ v), (n,), iters=50)
+        for i in range(P)
+    ]) + rho * mu
+    res = node_solver.solve_nodes(
+        fwd, adj, b, D_vec, jnp.zeros((P, n)), jnp.zeros(P),
+        0.0, rho, L, node_solver.init_state(P, N, b.shape[1]),
+        jnp.asarray(1e-5), cfg, N,
+    )
+    for i in range(P):
+        expected = np.asarray(linalg.ridge_solve(A[i], b[i], rho * mu))
+        np.testing.assert_allclose(
+            np.asarray(res.state.x[i]), expected, rtol=5e-3, atol=5e-3
+        )
+
+
+def test_ppdhg_tv_matches_cv():
+    # Both inner algorithms must agree on the TV-regularized optimum.
+    A, b, fwd, adj, opnorm, N = _random_problem(P=1, m=48, n_side=8, seed=1)
+    A = jnp.abs(A)  # nonneg operator (the ppdhg |K| sums assume it)
+    b = jnp.einsum("pmn,pn->pm", A, jnp.abs(jnp.ones((1, 64))))
+    fwd = lambda x: jnp.einsum("pmn,pn->pm", A, x)
+    adj = lambda r: jnp.einsum("pmn,pm->pn", A, r)
+    P, m, n = A.shape
+    lam_tv, rho, mu = 0.05, 1.0, 0.3
+    D_vec = jnp.full((P, n), mu)
+    L = jnp.stack([
+        linalg.power_method(lambda v: A[0].T @ (A[0] @ v), (n,), iters=50)
+    ]) + rho * mu
+    common = (fwd, adj, b, D_vec, jnp.zeros((P, n)), jnp.zeros(P),
+              lam_tv, rho, L)
+    out = {}
+    for alg in ("cv", "ppdhg"):
+        cfg = NodeSolverConfig(max_inner=6000, check_every=100, algorithm=alg,
+                               plateau_tol=0.0)
+        res = node_solver.solve_nodes(
+            *common, node_solver.init_state(P, N, b.shape[1]),
+            jnp.asarray(1e-6), cfg, N,
+        )
+        out[alg] = np.asarray(res.state.x[0])
+    np.testing.assert_allclose(out["ppdhg"], out["cv"], atol=5e-2)
