@@ -116,6 +116,32 @@ def solve_nodes(
             )
             return NodeState(x_new, ux, uy, ua)
 
+    elif cfg.algorithm == "pcv":
+        # Per-pixel preconditioned Condat-Vu: the smooth part's curvature is
+        # majorized coordinate-wise by the Gershgorin row sums of
+        # A^T A + rho*diag(D), computable matrix-free for nonnegative
+        # operators as A^T(A 1) (a SART-type Jacobi preconditioner). The
+        # step condition T_p (L_p/2 + sigma_p * ||K||^2) <= 1 holds per
+        # pixel with sigma chosen from the same local scale.
+        n = D_vec.shape[1]
+        L_row = adj(fwd(jnp.ones((P, n), dtype))) + rho * D_vec  # [P, n]
+        L_row = jnp.maximum(L_row, 1e-6)
+        Ksq = tv.GRAD_OPNORM_SQ
+        sigma_p = (cfg.sigma_scale * L_row / (2.0 * Ksq)).astype(dtype)
+        T = (0.99 / (L_row / 2.0 + sigma_p * Ksq)).astype(dtype)  # [P, n]
+        sig_im = sigma_p.reshape(P, N, N)
+
+        def inner_step(_, st: NodeState) -> NodeState:
+            x, ux, uy, ua = st
+            ktu = tv.grad_adjoint(ux, uy).reshape(P, -1)
+            x_new = x - T * (grad_f(x) + ktu)
+            xb = (2.0 * x_new - x).reshape(P, N, N)
+            gx, gy = tv.grad(xb)
+            ux, uy = tv.project_l2_ball(
+                ux + sig_im * gx, uy + sig_im * gy, lam_tv
+            )
+            return NodeState(x_new, ux, uy, ua)
+
     elif cfg.algorithm == "ppdhg":
         # Diagonally preconditioned PDHG (Pock-Chambolle 2011, alpha=1):
         # K = [A; grad] entirely in the dual, the consensus quadratic as an

@@ -183,3 +183,30 @@ def test_ppdhg_tv_matches_cv():
         )
         out[alg] = np.asarray(res.state.x[0])
     np.testing.assert_allclose(out["ppdhg"], out["cv"], atol=5e-2)
+
+
+def test_pcv_ridge_oracle():
+    # SART-preconditioned CV must also reach the ridge solution (nonneg op).
+    A, b, fwd, adj, opnorm, N = _random_problem()
+    A = jnp.abs(A)
+    fwd = lambda x: jnp.einsum("pmn,pn->pm", A, x)
+    adj = lambda r: jnp.einsum("pmn,pm->pn", A, r)
+    b = fwd(jnp.asarray(
+        np.random.default_rng(6).normal(size=(A.shape[0], A.shape[2]))
+    ).astype(jnp.float32))
+    P, m, n = A.shape
+    mu, rho = 0.5, 2.0
+    D_vec = jnp.full((P, n), mu)
+    cfg = NodeSolverConfig(max_inner=4000, check_every=50, algorithm="pcv",
+                           plateau_tol=0.0)
+    L = jnp.ones((P,))  # unused by pcv
+    res = node_solver.solve_nodes(
+        fwd, adj, b, D_vec, jnp.zeros((P, n)), jnp.zeros(P),
+        0.0, rho, L, node_solver.init_state(P, N, b.shape[1]),
+        jnp.asarray(1e-5), cfg, N,
+    )
+    for i in range(P):
+        expected = np.asarray(linalg.ridge_solve(A[i], b[i], rho * mu))
+        np.testing.assert_allclose(
+            np.asarray(res.state.x[i]), expected, rtol=5e-3, atol=5e-3
+        )
