@@ -112,6 +112,12 @@ class AdmmConfig:
     eps_pri: float = 1e-3
     eps_dual: float = 1e-3
     z_fusion: str = "midpoint"  # "midpoint" (executed ref) | "weighted" (eq. 2)
+    # Run the fused z/y/residual edge update as the Pallas TPU kernel
+    # (ops/pallas/consensus.py): one HBM pass over the [P_loc, P, n] edge
+    # state instead of the ~6 XLA temporaries. Numerics identical; pays off
+    # as the edge-state footprint grows (>= 8 nodes at 256^2). Off-TPU the
+    # kernel runs in interpreter mode (tests) — keep False for CPU perf.
+    use_pallas: bool = False
     node: NodeSolverConfig = dataclasses.field(default_factory=NodeSolverConfig)
 
 

@@ -152,25 +152,40 @@ def admm_iteration(
     # --- edge fusion z-update (eq. 2 / ref ver2:210-223) ---
     A_prop = Xn[:, None, :] + Y  # a_i = x_i + y_ij,i, laid out [i_loc, j, n]
     A_T = comm.pair_transpose(A_prop)  # [i_loc, j, n] -> a_j = x_j + y_ij,j
-    if cfg.z_fusion == "weighted":
-        Wi = data.W_own[:, None, :]
-        Wj = data.W_all[None, :, :]
-        Zn = (Wi * A_prop + Wj * A_T) / (Wi + Wj)
-    elif cfg.z_fusion == "midpoint":
-        Zn = 0.5 * (A_prop + A_T)
-    else:
+    if cfg.z_fusion not in ("midpoint", "weighted"):
         raise ValueError("z_fusion must be 'midpoint' or 'weighted'")
-    Zn = Zn * am
+    if cfg.use_pallas:
+        # Fused z/y/residual edge update in one HBM pass (Pallas kernel;
+        # interpreter mode off-TPU so tests stay CPU-runnable).
+        from dip_admm_tpu.ops.pallas import consensus as pallas_consensus
 
-    # --- dual update (eq. 3 / ref ver2:225-230) ---
-    Yn = (Y + Xn[:, None, :] - Zn) * am
+        Zn, Yn, pri_pair, dz2_pair = pallas_consensus.consensus_update(
+            Xn, Y, Z, A_T, data.adjm,
+            w_own=data.W_own, w_all=data.W_all, fusion=cfg.z_fusion,
+            tile=pallas_consensus.pick_tile(n),
+            interpret=jax.default_backend() != "tpu",
+        )
+        pri_node = jnp.sum(pri_pair, axis=1)  # [P_loc]
+        dz2 = jnp.sum(dz2_pair, axis=1)
+        r2 = comm.psum(jnp.sum(pri_node))
+    else:
+        if cfg.z_fusion == "weighted":
+            Wi = data.W_own[:, None, :]
+            Wj = data.W_all[None, :, :]
+            Zn = (Wi * A_prop + Wj * A_T) / (Wi + Wj)
+        else:
+            Zn = 0.5 * (A_prop + A_T)
+        Zn = Zn * am
 
-    # --- residuals (eqs. 4-5 / ref ver2:232-264) ---
-    dpri = (Xn[:, None, :] - Zn) * am
-    pri_node = jnp.sum(dpri * dpri, axis=(1, 2))  # [P_loc]
-    r2 = comm.psum(jnp.sum(pri_node))
-    dz = (Zn - Z) * am
-    dz2 = jnp.sum(dz * dz, axis=(1, 2))
+        # --- dual update (eq. 3 / ref ver2:225-230) ---
+        Yn = (Y + Xn[:, None, :] - Zn) * am
+
+        # --- residuals (eqs. 4-5 / ref ver2:232-264) ---
+        dpri = (Xn[:, None, :] - Zn) * am
+        pri_node = jnp.sum(dpri * dpri, axis=(1, 2))  # [P_loc]
+        r2 = comm.psum(jnp.sum(pri_node))
+        dz = (Zn - Z) * am
+        dz2 = jnp.sum(dz * dz, axis=(1, 2))
     dual_node = cfg.rho**2 * dz2
     s2 = 0.5 * cfg.rho**2 * comm.psum(jnp.sum(dz2))
     pri_norm = jnp.sqrt(r2)

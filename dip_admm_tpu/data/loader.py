@@ -121,6 +121,21 @@ def make_node_ops(
         adj = lambda r: jax.vmap(
             lambda s, a, v: radon.backproject(geo, s, a, v)
         )(r.reshape(r.shape[0], -1, D), angles, valid).reshape(r.shape[0], -1)
+    elif mode == "fft_pallas":
+        from dip_admm_tpu.ops import radon_fft as proj_mod
+
+        if geo.fan_beam:
+            raise NotImplementedError("fft_pallas supports parallel beam only")
+        if tables is None:
+            tables = jax.vmap(
+                lambda a, v: proj_mod.precompute_phases(geo, a, v)
+            )(angles, valid)
+        fwd = lambda x: proj_mod.project_nodes(
+            geo, x.reshape(-1, N, N), tables
+        ).reshape(x.shape[0], -1)
+        adj = lambda r: proj_mod.backproject_nodes(
+            geo, r.reshape(r.shape[0], -1, D), tables
+        ).reshape(r.shape[0], -1)
     elif mode == "fft":
         if geo.fan_beam:
             from dip_admm_tpu.ops import radon_fan as proj_mod
@@ -152,7 +167,7 @@ def _node_colnorms(mode: str, cfg: GeometryConfig, angles, valid, A=None):
     (ref ``block_3_graph_and_precisions.py:21-24``)."""
     if mode == "dense":
         return precisions.weights_from_dense(A)
-    if mode == "fft" and not cfg.fan_beam:
+    if mode.startswith("fft") and not cfg.fan_beam:
         from dip_admm_tpu.ops import radon_fft
 
         W = jax.vmap(lambda a, v: radon_fft.colnorms_sq(cfg, a, v))(
@@ -281,7 +296,7 @@ def build_problem(
 
     # Geometry tables for the fft projector (precomputed once per problem).
     fft_tables = None
-    if mode == "fft":
+    if mode.startswith("fft"):
         fft_tables = build_fft_tables(cfg, angles, valid)
 
     # Clean sinograms via the same operator the solver uses, each node

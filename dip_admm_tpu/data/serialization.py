@@ -82,7 +82,7 @@ def load_problem(path: str) -> Problem:
     cfg = _cfg_from_json(bytes(z["__cfg__"]).decode())
     mode = bytes(z["__mode__"]).decode()
     fft_tables = None
-    if mode == "fft":
+    if mode.startswith("fft"):
         # Geometry tables are derived state — rebuild rather than store.
         from dip_admm_tpu.data.loader import build_fft_tables
 

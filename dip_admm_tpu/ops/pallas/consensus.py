@@ -40,6 +40,15 @@ from jax.experimental.pallas import tpu as pltpu
 # which is exempt.
 
 
+def pick_tile(n: int, want: int = 2048) -> int:
+    """Largest pixel-tile <= ``want`` that divides n and satisfies the TPU
+    lane rule (multiple of 128, or the full dimension)."""
+    for t in (want, 1024, 512, 256, 128):
+        if t <= want and n % t == 0:
+            return t
+    return n  # full-dim block (always legal)
+
+
 def _kernel_midpoint(x_ref, y_ref, z_ref, at_ref, adj_ref,
                      zn_ref, yn_ref, pri_ref, dz2_ref):
     t = pl.program_id(2)

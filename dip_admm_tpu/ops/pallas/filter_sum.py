@@ -1,0 +1,202 @@
+"""Pallas TPU kernel for the FFT-projector filter-sum contraction.
+
+The hot stage of the gather-free projector (``ops.radon_fft._branch_apply``)
+is the complex contraction over image rows n
+
+    g[p, t, f] = sum_n r[p, n, f] * H[p, t, n, f]
+
+(r = rfft of the padded image rows, H = precomputed shift-phase table). At
+256^2 / 8 nodes the H read (~0.8 GB per branch pair) bounds the whole inner
+loop; XLA's einsum pair is near bandwidth-bound in f32 but *regresses* when
+H is stored bfloat16 (the mixed-precision lowering materializes an upcast
+copy). This kernel reads H blocks in their storage dtype straight from HBM,
+upcasts in VMEM, and accumulates in f32 — so bf16 tables genuinely halve
+the dominant traffic.
+
+The complex product is carried in real/imaginary planes throughout:
+
+    g_re = sum_n rre*Hre - rim*Him        g_im = sum_n rre*Him + rim*Hre
+
+and the hand-written transpose (contraction over t with conj(H))
+
+    rre_bar = sum_t gre_bar*Hre + gim_bar*Him
+    rim_bar = sum_t gim_bar*Hre - gre_bar*Him
+
+is registered via ``jax.custom_transpose`` so ``jax.linear_transpose`` of the
+full projector (the adjoint path, ``radon_fft.backproject``) traverses the
+kernel. Equivalence with the jnp einsum path and exact adjointness are
+covered by tests (interpreter mode on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick(dim: int, want: int, mult: int = 8) -> int:
+    """Largest block <= ``want`` that divides ``dim`` and is a multiple of
+    ``mult`` (falling back to the full dim, which is always legal)."""
+    t = want
+    while t >= mult:
+        if dim % t == 0 and t % mult == 0:
+            return t
+        t //= 2
+    return dim
+
+
+def _fwd_kernel(rre_ref, rim_ref, hre_ref, him_ref, gre_ref, gim_ref):
+    nb = pl.program_id(1)
+    rre = rre_ref[0]  # [tn, F] f32
+    rim = rim_ref[0]
+    hre = hre_ref[0].astype(jnp.float32)  # [tt, tn, F]
+    him = him_ref[0].astype(jnp.float32)
+    gre = jnp.sum(rre[None] * hre - rim[None] * him, axis=1)  # [tt, F]
+    gim = jnp.sum(rre[None] * him + rim[None] * hre, axis=1)
+
+    @pl.when(nb == 0)
+    def _():
+        gre_ref[0] = jnp.zeros_like(gre_ref[0])
+        gim_ref[0] = jnp.zeros_like(gim_ref[0])
+
+    gre_ref[0] += gre
+    gim_ref[0] += gim
+
+
+def _t_kernel(gre_ref, gim_ref, hre_ref, him_ref, rre_ref, rim_ref):
+    tb = pl.program_id(1)
+    gre = gre_ref[0]  # [tt, F] f32
+    gim = gim_ref[0]
+    hre = hre_ref[0].astype(jnp.float32)  # [tt, tn, F]
+    him = him_ref[0].astype(jnp.float32)
+    rre = jnp.sum(gre[:, None] * hre + gim[:, None] * him, axis=0)  # [tn, F]
+    rim = jnp.sum(gim[:, None] * hre - gre[:, None] * him, axis=0)
+
+    @pl.when(tb == 0)
+    def _():
+        rre_ref[0] = jnp.zeros_like(rre_ref[0])
+        rim_ref[0] = jnp.zeros_like(rim_ref[0])
+
+    rre_ref[0] += rre
+    rim_ref[0] += rim
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fwd_pallas(rre, rim, Hre, Him, interpret=False):
+    P, T, N, F = Hre.shape
+    tt = _pick(T, 16)
+    tn = _pick(N, 32, mult=16)  # sublane-multiple for bf16 blocks
+    # Flatten (p, t-block) into the first grid axis so every output block is
+    # revisited only across the trailing n axis (accumulate pattern).
+    grid = (P * (T // tt), N // tn)  # n innermost: accumulation axis
+    r_spec = pl.BlockSpec(
+        (1, tn, F), lambda q, nb: (q // (T // tt), nb, 0),
+        memory_space=pltpu.VMEM,
+    )
+    h_spec = pl.BlockSpec(
+        (1, tt, tn, F),
+        lambda q, nb: (q // (T // tt), q % (T // tt), nb, 0),
+        memory_space=pltpu.VMEM,
+    )
+    g_spec = pl.BlockSpec(
+        (1, tt, F), lambda q, nb: (q // (T // tt), q % (T // tt), 0),
+        memory_space=pltpu.VMEM,
+    )
+    bytes_h = Hre.size * Hre.dtype.itemsize * 2
+    out = pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[r_spec, r_spec, h_spec, h_spec],
+        out_specs=(g_spec, g_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((P, T, F), jnp.float32),
+            jax.ShapeDtypeStruct((P, T, F), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * P * T * N * F,
+            bytes_accessed=bytes_h + rre.size * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(rre, rim, Hre, Him)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _t_pallas(gre_b, gim_b, Hre, Him, interpret=False):
+    P, T, N, F = Hre.shape
+    tt = _pick(T, 16)
+    tn = _pick(N, 32, mult=16)
+    grid = (P * (N // tn), T // tt)  # t innermost: accumulation axis
+    g_spec = pl.BlockSpec(
+        (1, tt, F), lambda q, tb: (q // (N // tn), tb, 0),
+        memory_space=pltpu.VMEM,
+    )
+    h_spec = pl.BlockSpec(
+        (1, tt, tn, F),
+        lambda q, tb: (q // (N // tn), tb, q % (N // tn), 0),
+        memory_space=pltpu.VMEM,
+    )
+    r_spec = pl.BlockSpec(
+        (1, tn, F), lambda q, tb: (q // (N // tn), q % (N // tn), 0),
+        memory_space=pltpu.VMEM,
+    )
+    bytes_h = Hre.size * Hre.dtype.itemsize * 2
+    return pl.pallas_call(
+        _t_kernel,
+        grid=grid,
+        in_specs=[g_spec, g_spec, h_spec, h_spec],
+        out_specs=(r_spec, r_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((P, N, F), jnp.float32),
+            jax.ShapeDtypeStruct((P, N, F), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * P * T * N * F,
+            bytes_accessed=bytes_h + gre_b.size * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(gre_b, gim_b, Hre, Him)
+
+
+def _interp() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@jax.custom_transpose.custom_transpose
+def _filter_sum_ct(res, lin):
+    Hre, Him = res
+    rre, rim = lin
+    return _fwd_pallas(rre, rim, Hre, Him, interpret=_interp())
+
+
+@_filter_sum_ct.def_transpose
+def _filter_sum_transpose(res, out_bar):
+    Hre, Him = res
+    gre_b, gim_b = out_bar
+    return _t_pallas(gre_b, gim_b, Hre, Him, interpret=_interp())
+
+
+def filter_sum(rre, rim, Hre, Him):
+    """Batched complex filter-sum ``g[p,t,f] = sum_n r[p,n,f] H[p,t,n,f]``
+    as real planes; linear in (rre, rim) with a registered transpose (so the
+    projector adjoint via ``jax.linear_transpose`` works through it)."""
+    P, T, N, F = Hre.shape
+    # custom_transpose wants avals (ShapedArray), not ShapeDtypeStructs.
+    aval = jax.core.ShapedArray((P, T, F), jnp.float32)
+    return _filter_sum_ct((aval, aval), (Hre, Him), (rre, rim))
+
+
+def filter_sum_reference(rre, rim, Hre, Him):
+    """Plain-jnp reference (f32 accumulation) for tests."""
+    ein = functools.partial(
+        jnp.einsum, "pnf,ptnf->ptf", preferred_element_type=jnp.float32
+    )
+    g_re = ein(rre, Hre) - ein(rim, Him)
+    g_im = ein(rre, Him) + ein(rim, Hre)
+    return g_re, g_im

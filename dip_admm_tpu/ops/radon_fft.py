@@ -218,6 +218,67 @@ def project(
     return out
 
 
+def _branch_apply_nodes(imgs, Hre, Him, p, scale, use_pallas=True):
+    """Node-batched :func:`_branch_apply`: imgs [P, N, N], tables with a
+    leading node axis (as produced by ``loader.build_fft_tables``).
+
+    With ``use_pallas`` the filter-sum contraction runs as the Pallas kernel
+    (``ops.pallas.filter_sum``), which reads the H tables in their storage
+    dtype and accumulates in f32 — the path that makes bfloat16 tables an
+    actual 2x traffic win (the XLA einsum materializes an upcast copy).
+    Written batched (no vmap) because the Pallas custom-transpose wrapper
+    carries its own transpose rule but no batching rule.
+    """
+    P, N, _ = imgs.shape
+    Np = 2 * (Hre.shape[-1] - 1)
+    rows = jnp.pad(imgs, ((0, 0), (0, 0), (0, Np - N)))
+    rhat = jnp.fft.rfft(rows, axis=2)  # [P, N, F]
+    rre = jnp.real(rhat)
+    rim = jnp.imag(rhat)
+    if use_pallas:
+        from dip_admm_tpu.ops.pallas.filter_sum import filter_sum
+
+        g_re, g_im = filter_sum(rre, rim, Hre, Him)
+    else:
+        ein = functools.partial(
+            jnp.einsum, "pnf,ptnf->ptf", preferred_element_type=jnp.float32
+        )
+        g_re = ein(rre, Hre) - ein(rim, Him)
+        g_im = ein(rre, Him) + ein(rim, Hre)
+    ghat = jax.lax.complex(g_re, g_im)
+    g = jnp.fft.irfft(ghat, n=Np, axis=2).astype(imgs.dtype)  # [P, T, Np]
+    v_idx = jnp.arange(Np, dtype=imgs.dtype)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(p[..., None] - v_idx))  # [P, T, D, Np]
+    out = jnp.einsum("ptdv,ptv->ptd", w, g)
+    return scale[..., None] * out
+
+
+def project_nodes(cfg: GeometryConfig, imgs, tables, use_pallas=True):
+    """Batched forward projection [P, N, N] -> [P, T, D] on per-node tables
+    (parallel beam). The Pallas fast path for the sharded/looped runtime."""
+    if cfg.fan_beam:
+        raise NotImplementedError("fft_pallas supports parallel beam only")
+    t = tables
+    out = _branch_apply_nodes(
+        imgs, t["Hre_r"], t["Him_r"], t["p_r"], t["s_r"], use_pallas
+    )
+    out = out + _branch_apply_nodes(
+        imgs.transpose(0, 2, 1), t["Hre_c"], t["Him_c"], t["p_c"], t["s_c"],
+        use_pallas,
+    )
+    return out
+
+
+def backproject_nodes(cfg: GeometryConfig, sinos, tables, use_pallas=True):
+    """Exact adjoint of :func:`project_nodes` ([P, T, D] -> [P, N, N]); the
+    Pallas filter-sum transposes through its registered custom_transpose."""
+    P = sinos.shape[0]
+    N = cfg.N
+    f = lambda x: project_nodes(cfg, x, tables, use_pallas)
+    (out,) = jax.linear_transpose(f, jnp.zeros((P, N, N), sinos.dtype))(sinos)
+    return out
+
+
 def backproject(
     cfg: GeometryConfig,
     sino: jnp.ndarray,

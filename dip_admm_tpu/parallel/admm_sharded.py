@@ -90,7 +90,7 @@ def run_admm_sharded(
         fwd, adj = make_node_ops(
             mode, pcfg.geometry, angles, valid,
             A if mode == "dense" else None,
-            tables if mode == "fft" else None,
+            tables if mode.startswith("fft") else None,
         )
 
         data = NodeBlockData(
@@ -142,7 +142,7 @@ def run_admm_sharded(
     A_arg = problem.A if mode == "dense" else jnp.zeros((P, 1), dtype)
     tables_arg = (
         problem.fft_tables
-        if (mode == "fft" and problem.fft_tables is not None)
+        if (mode.startswith("fft") and problem.fft_tables is not None)
         else jnp.zeros((P, 1), dtype)
     )
     tables_spec = jax.tree.map(lambda _: node, tables_arg)

@@ -45,7 +45,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", type=int, default=None,
                    help="shard nodes over this many devices")
     p.add_argument("--matrix-free", action="store_true",
-                   help="force the matrix-free projector")
+                   help="force the matrix-free projector (mode=fft)")
+    p.add_argument("--mode",
+                   choices=["auto", "dense", "joseph", "fft", "fft_pallas"],
+                   default="auto",
+                   help="measurement-operator implementation (auto: dense "
+                        "for N<=128, fft above)")
+    p.add_argument("--use-pallas", action="store_true",
+                   help="fused Pallas edge-consensus kernel (TPU)")
+    p.add_argument("--fft-table-dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="storage dtype of the fft-projector phase tables")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler device trace into this dir")
     return p
@@ -72,12 +82,23 @@ def config_from_args(args) -> "ProblemConfig":
             lam_tv=args.lam_tv, rho=args.rho, max_iters=args.max_iters,
             eps_pri=args.eps_pri, eps_dual=args.eps_dual,
             z_fusion=args.z_fusion,
+            use_pallas=getattr(args, "use_pallas", False),
             node=NodeSolverConfig(max_inner=args.max_inner),
         ),
         noise_level=args.noise,
         phantom=args.phantom,
         dtype=args.dtype,
+        fft_table_dtype=getattr(args, "fft_table_dtype", "float32"),
     )
+
+
+def mode_from_args(args) -> "str | None":
+    """Projector mode override (None = build_problem's auto choice)."""
+    if getattr(args, "mode", "auto") != "auto":
+        return args.mode
+    if getattr(args, "matrix_free", False):
+        return "fft"
+    return None
 
 
 def main(argv=None) -> None:
@@ -95,10 +116,16 @@ def main(argv=None) -> None:
 
     from dip_admm_tpu.runners import experiment
 
+    mode = mode_from_args(args)
+
     def go():
         if args.all_strategies:
-            return experiment.run_all_strategies(cfg, out_root, mesh=mesh)
-        _, _, summary = experiment.run_one_strategy(cfg, out_root, mesh=mesh)
+            return experiment.run_all_strategies(
+                cfg, out_root, mesh=mesh, mode=mode
+            )
+        _, _, summary = experiment.run_one_strategy(
+            cfg, out_root, mesh=mesh, mode=mode
+        )
         return {args.strategy: summary}
 
     if args.profile_dir:

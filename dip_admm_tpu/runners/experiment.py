@@ -35,6 +35,7 @@ def run_one_strategy(
     mesh=None,
     problem: Optional[loader.Problem] = None,
     write_artifacts: bool = True,
+    mode: Optional[str] = None,
 ):
     """Run decentralized ADMM for one graph strategy; returns
     (x [P, n] numpy, history dict numpy, summary dict)."""
@@ -55,7 +56,7 @@ def run_one_strategy(
     out_dir = os.path.join(out_root, tag)
 
     if problem is None:
-        problem = loader.build_problem(cfg)
+        problem = loader.build_problem(cfg, mode=mode)
     elif problem.cfg.graph != cfg.graph:
         problem = loader.rebuild_graph(problem, cfg.graph)
 
@@ -102,13 +103,16 @@ def run_one_strategy(
     return x, hist, summary
 
 
-def run_all_strategies(cfg: ProblemConfig, out_root: Optional[str] = None, mesh=None):
+def run_all_strategies(
+    cfg: ProblemConfig, out_root: Optional[str] = None, mesh=None,
+    mode: Optional[str] = None,
+):
     """mst, chain, knn back-to-back on the same data
     (ref ``block_7_main_ver0.py:192-204``); the problem operators/sinograms
     are shared, only the graph layer is rebuilt per strategy."""
     if out_root is None:
         out_root = f"Recon_Out_ADMM_{datetime.now().strftime('%Y%m%d_%H%M%S')}"
-    problem = loader.build_problem(cfg)
+    problem = loader.build_problem(cfg, mode=mode)
     results = {}
     for strategy in ("mst", "chain", "knn"):
         x, hist, summary = run_one_strategy(

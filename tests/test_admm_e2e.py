@@ -129,6 +129,28 @@ def test_matrix_free_matches_dense():
     )
 
 
+@pytest.mark.parametrize("fusion", ["midpoint", "weighted"])
+def test_use_pallas_matches_jnp_path(fusion):
+    # AdmmConfig.use_pallas swaps the edge update for the fused Pallas
+    # kernel (interpreter mode on CPU); trajectories must be identical.
+    cfg = small_cfg(z_fusion=fusion)
+    cfg = dataclasses.replace(
+        cfg, admm=dataclasses.replace(cfg.admm, max_iters=4)
+    )
+    problem = loader.build_problem(cfg)
+    r_jnp = admm.run_admm(problem)
+    cfg_p = dataclasses.replace(cfg.admm, use_pallas=True)
+    r_pal = admm.run_admm(problem, cfg=cfg_p)
+    np.testing.assert_allclose(
+        np.asarray(r_pal.x), np.asarray(r_jnp.x), rtol=1e-5, atol=1e-6
+    )
+    for name in ("primal", "dual"):
+        np.testing.assert_allclose(
+            np.asarray(r_pal.history[name]),
+            np.asarray(r_jnp.history[name]), rtol=1e-4, atol=1e-6,
+        )
+
+
 def test_per_node_phantoms():
     # Build-mode parity: each node measures its own randomized phantom
     # (ref block_2_load_odl_data.py:134-137); node 0 is the ground truth.
