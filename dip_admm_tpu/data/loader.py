@@ -128,12 +128,12 @@ def make_node_ops(
             raise NotImplementedError("fft_pallas supports parallel beam only")
         if tables is None:
             tables = jax.vmap(
-                lambda a, v: proj_mod.precompute_phases(geo, a, v)
+                lambda a, v: proj_mod.precompute_merged(geo, a, v)
             )(angles, valid)
-        fwd = lambda x: proj_mod.project_nodes(
+        fwd = lambda x: proj_mod.project_nodes_merged(
             geo, x.reshape(-1, N, N), tables
         ).reshape(x.shape[0], -1)
-        adj = lambda r: proj_mod.backproject_nodes(
+        adj = lambda r: proj_mod.backproject_nodes_merged(
             geo, r.reshape(r.shape[0], -1, D), tables
         ).reshape(r.shape[0], -1)
     elif mode == "fft":
@@ -215,7 +215,7 @@ def _estimate_opnorms(mode, geo, angles, valid, A, tables, iters: int = 30):
     return lam
 
 
-def build_fft_tables(cfg: ProblemConfig, angles, valid):
+def build_fft_tables(cfg: ProblemConfig, angles, valid, mode: str = "fft"):
     """Per-node geometry tables for the fft projector family."""
     geo = cfg.geometry
     tdt = jnp.dtype(cfg.fft_table_dtype)
@@ -223,6 +223,12 @@ def build_fft_tables(cfg: ProblemConfig, angles, valid):
         from dip_admm_tpu.ops import radon_fan
 
         pre = lambda a, v: radon_fan.precompute_fan(geo, a, v, table_dtype=tdt)
+    elif mode == "fft_pallas":
+        from dip_admm_tpu.ops import radon_fft
+
+        pre = lambda a, v: radon_fft.precompute_merged(
+            geo, a, v, table_dtype=tdt
+        )
     else:
         from dip_admm_tpu.ops import radon_fft
 
@@ -297,7 +303,7 @@ def build_problem(
     # Geometry tables for the fft projector (precomputed once per problem).
     fft_tables = None
     if mode.startswith("fft"):
-        fft_tables = build_fft_tables(cfg, angles, valid)
+        fft_tables = build_fft_tables(cfg, angles, valid, mode)
 
     # Clean sinograms via the same operator the solver uses, each node
     # measuring its own phantom.

@@ -87,7 +87,8 @@ def load_problem(path: str) -> Problem:
         from dip_admm_tpu.data.loader import build_fft_tables
 
         fft_tables = build_fft_tables(
-            cfg, jnp.asarray(z["angles"]), jnp.asarray(z["angle_valid"])
+            cfg, jnp.asarray(z["angles"]), jnp.asarray(z["angle_valid"]),
+            mode,
         )
     return Problem(
         fft_tables=fft_tables,

@@ -49,6 +49,24 @@ def _pick(dim: int, want: int, mult: int = 8) -> int:
     return dim
 
 
+def _tiles(T: int, N: int, F: int) -> tuple[int, int]:
+    """(tt, tn) angle/row tiles sized so the kernel's [tt, tn, F] f32
+    working set stays within scoped VMEM (~16 MB incl. double-buffered
+    blocks and upcast temps) — at 512^2 (F=1025 -> 1152 lanes) the default
+    16x32 tiles overflow the stack allocator."""
+    fpad = -(-F // 128) * 128
+    tt = _pick(T, 16)
+    tn = _pick(N, 32, mult=16)
+    while tt * tn * fpad > 400_000:
+        if tn >= 32 and _pick(N, tn // 2, mult=16) < tn:
+            tn = _pick(N, tn // 2, mult=16)
+        elif tt > 8 and _pick(T, tt // 2) < tt:
+            tt = _pick(T, tt // 2)
+        else:
+            break
+    return tt, tn
+
+
 def _fwd_kernel(rre_ref, rim_ref, hre_ref, him_ref, gre_ref, gim_ref):
     nb = pl.program_id(1)
     rre = rre_ref[0]  # [tn, F] f32
@@ -88,8 +106,7 @@ def _t_kernel(gre_ref, gim_ref, hre_ref, him_ref, rre_ref, rim_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _fwd_pallas(rre, rim, Hre, Him, interpret=False):
     P, T, N, F = Hre.shape
-    tt = _pick(T, 16)
-    tn = _pick(N, 32, mult=16)  # sublane-multiple for bf16 blocks
+    tt, tn = _tiles(T, N, F)  # sublane-multiple for bf16 blocks
     # Flatten (p, t-block) into the first grid axis so every output block is
     # revisited only across the trailing n axis (accumulate pattern).
     grid = (P * (T // tt), N // tn)  # n innermost: accumulation axis
@@ -129,8 +146,7 @@ def _fwd_pallas(rre, rim, Hre, Him, interpret=False):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _t_pallas(gre_b, gim_b, Hre, Him, interpret=False):
     P, T, N, F = Hre.shape
-    tt = _pick(T, 16)
-    tn = _pick(N, 32, mult=16)
+    tt, tn = _tiles(T, N, F)
     grid = (P * (N // tn), T // tt)  # t innermost: accumulation axis
     g_spec = pl.BlockSpec(
         (1, tt, F), lambda q, tb: (q // (N // tn), tb, 0),
@@ -164,6 +180,139 @@ def _t_pallas(gre_b, gim_b, Hre, Him, interpret=False):
     )(gre_b, gim_b, Hre, Him)
 
 
+def _fwd_sel_kernel(rre_ref, rim_ref, hre_ref, him_ref, sel_ref,
+                    gre_ref, gim_ref):
+    nb = pl.program_id(1)
+    s = sel_ref[0][:, :, None]  # [tt, 1, 1]
+    # Per-angle branch select: plane 0 = image rows, plane 1 = transposed.
+    rre = rre_ref[0, 0][None] + s * (rre_ref[0, 1] - rre_ref[0, 0])[None]
+    rim = rim_ref[0, 0][None] + s * (rim_ref[0, 1] - rim_ref[0, 0])[None]
+    hre = hre_ref[0].astype(jnp.float32)  # [tt, tn, F]
+    him = him_ref[0].astype(jnp.float32)
+    gre = jnp.sum(rre * hre - rim * him, axis=1)  # [tt, F]
+    gim = jnp.sum(rre * him + rim * hre, axis=1)
+
+    @pl.when(nb == 0)
+    def _():
+        gre_ref[0] = jnp.zeros_like(gre_ref[0])
+        gim_ref[0] = jnp.zeros_like(gim_ref[0])
+
+    gre_ref[0] += gre
+    gim_ref[0] += gim
+
+
+def _t_sel_kernel(gre_ref, gim_ref, hre_ref, him_ref, sel_ref,
+                  rre_ref, rim_ref):
+    tb = pl.program_id(1)
+    s = sel_ref[0]  # [tt, 1]
+    gre = gre_ref[0]  # [tt, F]
+    gim = gim_ref[0]
+    hre = hre_ref[0].astype(jnp.float32)  # [tt, tn, F]
+    him = him_ref[0].astype(jnp.float32)
+    # Cotangent of plane o is the plain transpose weighted by that plane's
+    # per-angle gate: fold the gate into g first, then contract over t.
+    gre1 = gre * s
+    gim1 = gim * s
+    gre0 = gre - gre1
+    gim0 = gim - gim1
+    r0_re = jnp.sum(gre0[:, None] * hre + gim0[:, None] * him, axis=0)
+    r0_im = jnp.sum(gim0[:, None] * hre - gre0[:, None] * him, axis=0)
+    r1_re = jnp.sum(gre1[:, None] * hre + gim1[:, None] * him, axis=0)
+    r1_im = jnp.sum(gim1[:, None] * hre - gre1[:, None] * him, axis=0)
+
+    @pl.when(tb == 0)
+    def _():
+        rre_ref[0] = jnp.zeros_like(rre_ref[0])
+        rim_ref[0] = jnp.zeros_like(rim_ref[0])
+
+    rre_ref[0, 0] += r0_re
+    rre_ref[0, 1] += r1_re
+    rim_ref[0, 0] += r0_im
+    rim_ref[0, 1] += r1_im
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fwd_sel_pallas(rre2, rim2, Hre, Him, sel, interpret=False):
+    P, T, N, F = Hre.shape
+    tt, tn = _tiles(T, N, F)
+    grid = (P * (T // tt), N // tn)
+    r2_spec = pl.BlockSpec(
+        (1, 2, tn, F), lambda q, nb: (q // (T // tt), 0, nb, 0),
+        memory_space=pltpu.VMEM,
+    )
+    h_spec = pl.BlockSpec(
+        (1, tt, tn, F),
+        lambda q, nb: (q // (T // tt), q % (T // tt), nb, 0),
+        memory_space=pltpu.VMEM,
+    )
+    sel_spec = pl.BlockSpec(
+        (1, tt, 1), lambda q, nb: (q // (T // tt), q % (T // tt), 0),
+        memory_space=pltpu.VMEM,
+    )
+    g_spec = pl.BlockSpec(
+        (1, tt, F), lambda q, nb: (q // (T // tt), q % (T // tt), 0),
+        memory_space=pltpu.VMEM,
+    )
+    bytes_h = Hre.size * Hre.dtype.itemsize * 2
+    return pl.pallas_call(
+        _fwd_sel_kernel,
+        grid=grid,
+        in_specs=[r2_spec, r2_spec, h_spec, h_spec, sel_spec],
+        out_specs=(g_spec, g_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((P, T, F), jnp.float32),
+            jax.ShapeDtypeStruct((P, T, F), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * P * T * N * F,
+            bytes_accessed=bytes_h + rre2.size * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(rre2, rim2, Hre, Him, sel)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _t_sel_pallas(gre_b, gim_b, Hre, Him, sel, interpret=False):
+    P, T, N, F = Hre.shape
+    tt, tn = _tiles(T, N, F)
+    grid = (P * (N // tn), T // tt)
+    g_spec = pl.BlockSpec(
+        (1, tt, F), lambda q, tb: (q // (N // tn), tb, 0),
+        memory_space=pltpu.VMEM,
+    )
+    h_spec = pl.BlockSpec(
+        (1, tt, tn, F),
+        lambda q, tb: (q // (N // tn), tb, q % (N // tn), 0),
+        memory_space=pltpu.VMEM,
+    )
+    sel_spec = pl.BlockSpec(
+        (1, tt, 1), lambda q, tb: (q // (N // tn), tb, 0),
+        memory_space=pltpu.VMEM,
+    )
+    r2_spec = pl.BlockSpec(
+        (1, 2, tn, F), lambda q, tb: (q // (N // tn), 0, q % (N // tn), 0),
+        memory_space=pltpu.VMEM,
+    )
+    bytes_h = Hre.size * Hre.dtype.itemsize * 2
+    return pl.pallas_call(
+        _t_sel_kernel,
+        grid=grid,
+        in_specs=[g_spec, g_spec, h_spec, h_spec, sel_spec],
+        out_specs=(r2_spec, r2_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((P, 2, N, F), jnp.float32),
+            jax.ShapeDtypeStruct((P, 2, N, F), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=16 * P * T * N * F,
+            bytes_accessed=bytes_h + gre_b.size * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(gre_b, gim_b, Hre, Him, sel)
+
+
 def _interp() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -190,6 +339,46 @@ def filter_sum(rre, rim, Hre, Him):
     # custom_transpose wants avals (ShapedArray), not ShapeDtypeStructs.
     aval = jax.core.ShapedArray((P, T, F), jnp.float32)
     return _filter_sum_ct((aval, aval), (Hre, Him), (rre, rim))
+
+
+@jax.custom_transpose.custom_transpose
+def _filter_sum_sel_ct(res, lin):
+    Hre, Him, sel = res
+    rre2, rim2 = lin
+    return _fwd_sel_pallas(rre2, rim2, Hre, Him, sel, interpret=_interp())
+
+
+@_filter_sum_sel_ct.def_transpose
+def _filter_sum_sel_transpose(res, out_bar):
+    Hre, Him, sel = res
+    gre_b, gim_b = out_bar
+    return _t_sel_pallas(gre_b, gim_b, Hre, Him, sel, interpret=_interp())
+
+
+def filter_sum_sel(rre2, rim2, Hre, Him, sel):
+    """Branch-merged filter-sum: per angle t, contract the sel-selected
+    spectrum plane (0 = image rows, 1 = transposed image rows) with the
+    merged phase table:
+
+        g[p,t,f] = sum_n r[p, sel[p,t], n, f] * H[p,t,n,f]
+
+    rre2/rim2: [P, 2, N, F]; sel: [P, T, 1] float in {0, 1}. Linear in
+    (rre2, rim2) with a registered transpose."""
+    P, T, N, F = Hre.shape
+    aval = jax.core.ShapedArray((P, T, F), jnp.float32)
+    return _filter_sum_sel_ct((aval, aval), (Hre, Him, sel), (rre2, rim2))
+
+
+def filter_sum_sel_reference(rre2, rim2, Hre, Him, sel):
+    """Plain-jnp reference for tests (reads both planes, selects)."""
+    s = sel[:, :, None, :]  # [P, T, 1, 1]
+    rre = rre2[:, None, 0] + s * (rre2[:, None, 1] - rre2[:, None, 0])
+    rim = rim2[:, None, 0] + s * (rim2[:, None, 1] - rim2[:, None, 0])
+    Hre32 = Hre.astype(jnp.float32)
+    Him32 = Him.astype(jnp.float32)
+    g_re = jnp.sum(rre * Hre32 - rim * Him32, axis=2)
+    g_im = jnp.sum(rre * Him32 + rim * Hre32, axis=2)
+    return g_re, g_im
 
 
 def filter_sum_reference(rre, rim, Hre, Him):

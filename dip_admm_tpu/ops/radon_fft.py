@@ -218,6 +218,117 @@ def project(
     return out
 
 
+def precompute_merged(
+    cfg: GeometryConfig, angles: jnp.ndarray, valid=None,
+    table_dtype=jnp.float32, dets=None,
+):
+    """Branch-merged tables for :func:`project_nodes_merged`.
+
+    :func:`precompute_phases` stores separate R/C branch tables with the
+    inactive branch's rows masked to zero — every application then reads a
+    [T, N, F] pair per branch, half of it zeros (for coarse node angle
+    blocks, one branch is almost entirely inactive). Here the two branches
+    are merged into ONE table pair plus a per-angle selector choosing which
+    image orientation's spectrum to contract — half the table memory and
+    half the apply-time HBM traffic, with identical math (per angle exactly
+    one branch is active; masks are complementary).
+    """
+    N, D = cfg.N, cfg.n_det
+    Np = _padded_len(N, D)
+    (Pr, Br, Cr, sr), (Pc, Bc, Cc, sc), use_r = _coeffs(cfg, angles, dets)
+    m_r = use_r.astype(jnp.float32)
+    m_c = 1.0 - m_r
+    if valid is not None:
+        vm = valid.astype(jnp.float32)
+        m_r = m_r * vm
+        m_c = m_c * vm
+    H_r, d_r = _branch_phases(Pr, Br, Cr, N, Np, mask=m_r)
+    H_c, d_c = _branch_phases(Pc, Bc, Cc, N, Np, mask=m_c)
+    H = H_r + H_c  # complementary masks: per angle one branch is nonzero
+    p = jnp.where(use_r[:, None], Pr - d_r[:, None], Pc - d_c[:, None])
+    s = jnp.where(use_r, sr, sc)
+    # DFT matrices are materialized here rather than rebuilt at apply time:
+    # inside the ADMM while_loop the rebuild (~2M sin/cos per application)
+    # is NOT hoisted by XLA and measured 5x slower end-to-end.
+    Ere, Eim, Cre, Cim = _dft_mats(N, Np)
+    return {
+        "Hre": jnp.real(H).astype(table_dtype),
+        "Him": jnp.imag(H).astype(table_dtype),
+        "p": p,  # [T, D] recentered evaluation coordinates
+        "s": s,  # [T] branch scale
+        "sel": m_c[:, None],  # [T, 1]: 1 -> transposed-image spectrum
+        "Ere": Ere, "Eim": Eim,  # [N, F] forward DFT of zero-padded rows
+        "Cre": Cre, "Cim": Cim,  # [F, Np] irfft coefficients
+    }
+
+
+def _dft_mats(N: int, Np: int):
+    """DFT matrices replacing rfft/irfft with MXU matmuls: rows are
+    zero-padded N -> Np, so the forward DFT only needs the first N columns;
+    the inverse needs the standard irfft coefficients (non-DC/Nyquist bins
+    doubled, DC/Nyquist imaginary parts dropped — verified against
+    jnp.fft.irfft). XLA's TPU FFT measures ~1 ms per [8, 256, 1024] batch
+    while these matmuls are microseconds on the MXU."""
+    F = Np // 2 + 1
+    f = jnp.arange(F, dtype=jnp.float32)
+    v = jnp.arange(N, dtype=jnp.float32)
+    ang = (2.0 * jnp.pi / Np) * v[:, None] * f[None, :]
+    Ere = jnp.cos(ang)
+    Eim = -jnp.sin(ang)
+    c = jnp.full((F,), 2.0).at[0].set(1.0).at[-1].set(1.0)
+    vv = jnp.arange(Np, dtype=jnp.float32)
+    ang2 = (2.0 * jnp.pi / Np) * f[:, None] * vv[None, :]
+    Cre = c[:, None] * jnp.cos(ang2) / Np
+    Cim = -c[:, None] * jnp.sin(ang2) / Np
+    return Ere, Eim, Cre, Cim
+
+
+def project_nodes_merged(cfg: GeometryConfig, imgs, tables):
+    """Batched forward projection [P, N, N] -> [P, T, D] on merged tables
+    (:func:`precompute_merged`): DFT matmuls (MXU) + the select filter-sum
+    Pallas kernel + hat evaluation. Parallel beam only."""
+    if cfg.fan_beam:
+        raise NotImplementedError("fft_pallas supports parallel beam only")
+    from dip_admm_tpu.ops.pallas.filter_sum import filter_sum_sel
+    from dip_admm_tpu.ops.pallas.hat_eval import hat_eval
+
+    t = tables
+    P, N, _ = imgs.shape
+    F = t["Hre"].shape[-1]
+    Np = 2 * (F - 1)
+    rows2 = jnp.stack([imgs, imgs.transpose(0, 2, 1)], axis=1)  # [P, 2, N, N]
+    ein = functools.partial(
+        jnp.einsum, preferred_element_type=jnp.float32
+    )
+    rre2 = ein("ponv,pvf->ponf", rows2, t["Ere"])
+    rim2 = ein("ponv,pvf->ponf", rows2, t["Eim"])
+    g_re, g_im = filter_sum_sel(rre2, rim2, t["Hre"], t["Him"], t["sel"])
+    g = ein("ptf,pfv->ptv", g_re, t["Cre"]) + ein(
+        "ptf,pfv->ptv", g_im, t["Cim"]
+    )
+    T, D = t["p"].shape[-2:]
+    # Hat evaluation: the XLA einsum (MXU) wins while the materialized
+    # weight tensor w [P, T, D, Np] stays HBM-friendly (measured: 4.1 vs
+    # 5.5 ms/normal-op at 256^2); past ~1.5 GB (512^2) materializing w is
+    # infeasible and the on-the-fly Pallas kernel takes over.
+    if P * T * D * Np * 4 > 1.5e9:
+        return hat_eval(g, t["p"], t["s"][..., None]).astype(imgs.dtype)
+    g = g.astype(imgs.dtype)
+    v_idx = jnp.arange(Np, dtype=imgs.dtype)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(t["p"][..., None] - v_idx))
+    out = jnp.einsum("ptdv,ptv->ptd", w, g)
+    return t["s"][..., None] * out
+
+
+def backproject_nodes_merged(cfg: GeometryConfig, sinos, tables):
+    """Exact adjoint of :func:`project_nodes_merged`."""
+    P = sinos.shape[0]
+    N = cfg.N
+    f = lambda x: project_nodes_merged(cfg, x, tables)
+    (out,) = jax.linear_transpose(f, jnp.zeros((P, N, N), sinos.dtype))(sinos)
+    return out
+
+
 def _branch_apply_nodes(imgs, Hre, Him, p, scale, use_pallas=True):
     """Node-batched :func:`_branch_apply`: imgs [P, N, N], tables with a
     leading node axis (as produced by ``loader.build_fft_tables``).

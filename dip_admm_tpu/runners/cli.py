@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fft-table-dtype", choices=["float32", "bfloat16"],
                    default="float32",
                    help="storage dtype of the fft-projector phase tables")
+    p.add_argument("--per-node-phantoms", action="store_true",
+                   help="each node measures its own randomized phantom "
+                        "(build-mode loader parity, ref "
+                        "block_2_load_odl_data.py:134-137)")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler device trace into this dir")
     return p
@@ -119,12 +123,13 @@ def main(argv=None) -> None:
     mode = mode_from_args(args)
 
     def go():
+        pnp = getattr(args, "per_node_phantoms", False)
         if args.all_strategies:
             return experiment.run_all_strategies(
-                cfg, out_root, mesh=mesh, mode=mode
+                cfg, out_root, mesh=mesh, mode=mode, per_node_phantoms=pnp
             )
         _, _, summary = experiment.run_one_strategy(
-            cfg, out_root, mesh=mesh, mode=mode
+            cfg, out_root, mesh=mesh, mode=mode, per_node_phantoms=pnp
         )
         return {args.strategy: summary}
 

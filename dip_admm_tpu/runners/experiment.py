@@ -36,6 +36,7 @@ def run_one_strategy(
     problem: Optional[loader.Problem] = None,
     write_artifacts: bool = True,
     mode: Optional[str] = None,
+    per_node_phantoms: bool = False,
 ):
     """Run decentralized ADMM for one graph strategy; returns
     (x [P, n] numpy, history dict numpy, summary dict)."""
@@ -56,7 +57,9 @@ def run_one_strategy(
     out_dir = os.path.join(out_root, tag)
 
     if problem is None:
-        problem = loader.build_problem(cfg, mode=mode)
+        problem = loader.build_problem(
+            cfg, mode=mode, per_node_phantoms=per_node_phantoms
+        )
     elif problem.cfg.graph != cfg.graph:
         problem = loader.rebuild_graph(problem, cfg.graph)
 
@@ -105,14 +108,16 @@ def run_one_strategy(
 
 def run_all_strategies(
     cfg: ProblemConfig, out_root: Optional[str] = None, mesh=None,
-    mode: Optional[str] = None,
+    mode: Optional[str] = None, per_node_phantoms: bool = False,
 ):
     """mst, chain, knn back-to-back on the same data
     (ref ``block_7_main_ver0.py:192-204``); the problem operators/sinograms
     are shared, only the graph layer is rebuilt per strategy."""
     if out_root is None:
         out_root = f"Recon_Out_ADMM_{datetime.now().strftime('%Y%m%d_%H%M%S')}"
-    problem = loader.build_problem(cfg, mode=mode)
+    problem = loader.build_problem(
+        cfg, mode=mode, per_node_phantoms=per_node_phantoms
+    )
     results = {}
     for strategy in ("mst", "chain", "knn"):
         x, hist, summary = run_one_strategy(

@@ -27,7 +27,7 @@ def bench(mode: str, table_dtype: str, N: int, P: int, chain: int) -> float:
     angles_np, valid_np, _ = radon.node_angles(geo)
     angles = jnp.asarray(angles_np, jnp.float32)
     valid = jnp.asarray(valid_np)
-    tables = build_fft_tables(cfg, angles, valid)
+    tables = build_fft_tables(cfg, angles, valid, mode)
     jax.block_until_ready(tables)
 
     def run(x, tabs):

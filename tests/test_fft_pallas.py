@@ -65,6 +65,50 @@ def test_filter_sum_transpose_is_exact_adjoint():
     np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-4)
 
 
+def test_filter_sum_sel_matches_reference_and_transposes():
+    k = jax.random.split(jax.random.PRNGKey(4), 5)
+    P, T, N, F = 2, 8, 16, 65
+    rre2 = jax.random.normal(k[0], (P, 2, N, F))
+    rim2 = jax.random.normal(k[1], (P, 2, N, F))
+    Hre = jax.random.normal(k[2], (P, T, N, F))
+    Him = jax.random.normal(k[3], (P, T, N, F))
+    sel = (jax.random.uniform(k[4], (P, T, 1)) > 0.5).astype(jnp.float32)
+    got = fs.filter_sum_sel(rre2, rim2, Hre, Him, sel)
+    want = fs.filter_sum_sel_reference(rre2, rim2, Hre, Him, sel)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-4
+        )
+    f = lambda rr, ri: fs.filter_sum_sel(rr, ri, Hre, Him, sel)
+    gre_b = jax.random.normal(k[0], (P, T, F))
+    gim_b = jax.random.normal(k[1], (P, T, F))
+    rre_b, rim_b = jax.linear_transpose(f, rre2, rim2)((gre_b, gim_b))
+    lhs = jnp.sum(got[0] * gre_b) + jnp.sum(got[1] * gim_b)
+    rhs = jnp.sum(rre2 * rre_b) + jnp.sum(rim2 * rim_b)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-4)
+
+
+def test_hat_eval_matches_reference_and_transposes():
+    from dip_admm_tpu.ops.pallas import hat_eval as he
+
+    k = jax.random.split(jax.random.PRNGKey(5), 3)
+    P, T, Np, D = 2, 8, 64, 16
+    g = jax.random.normal(k[0], (P, T, Np))
+    pc = jax.random.uniform(k[1], (P, T, D)) * (Np - 2)
+    s = jax.random.uniform(k[2], (P, T, 1)) + 0.5
+    got = he.hat_eval(g, pc, s)
+    want = he.hat_eval_reference(g, pc, s)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+    f = lambda gg: he.hat_eval(gg, pc, s)
+    ob = jax.random.normal(k[0], (P, T, D))
+    (gb,) = jax.linear_transpose(f, g)(ob)
+    lhs = jnp.sum(got * ob)
+    rhs = jnp.sum(g * gb)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-4)
+
+
 def test_mode_matches_fft_forward_adjoint():
     cfg = _cfg()
     p_fft = loader.build_problem(cfg, mode="fft")
