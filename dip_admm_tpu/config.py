@@ -112,6 +112,10 @@ class AdmmConfig:
     eps_pri: float = 1e-3
     eps_dual: float = 1e-3
     z_fusion: str = "midpoint"  # "midpoint" (executed ref) | "weighted" (eq. 2)
+    # Over-relaxation factor (Boyd sec. 3.4.3): x̂ = alpha*x + (1-alpha)*z in
+    # the z/y updates; 1.0 = reference algorithm, 1.5-1.8 typically speeds
+    # consensus convergence.
+    relax_alpha: float = 1.0
     # Run the fused z/y/residual edge update as the Pallas TPU kernel
     # (ops/pallas/consensus.py): one HBM pass over the [P_loc, P, n] edge
     # state instead of the ~6 XLA temporaries. Numerics identical; pays off

@@ -150,8 +150,15 @@ def admm_iteration(
     img_mse = jnp.sum(err * err, axis=1)
 
     # --- edge fusion z-update (eq. 2 / ref ver2:210-223) ---
-    A_prop = Xn[:, None, :] + Y  # a_i = x_i + y_ij,i, laid out [i_loc, j, n]
-    A_T = comm.pair_transpose(A_prop)  # [i_loc, j, n] -> a_j = x_j + y_ij,j
+    # Over-relaxation (Boyd sec. 3.4.3): x̂_ij = alpha*x_i + (1-alpha)*z_ij
+    # replaces x_i in the z/y updates and residuals; alpha=1 is the
+    # reference algorithm. a_i = x̂_ij + y_ij,i laid out [i_loc, j, n].
+    if cfg.relax_alpha != 1.0:
+        Xh = cfg.relax_alpha * Xn[:, None, :] + (1.0 - cfg.relax_alpha) * Z
+        A_prop = Xh + Y
+    else:
+        A_prop = Xn[:, None, :] + Y
+    A_T = comm.pair_transpose(A_prop)  # [i_loc, j, n] -> a_j = x̂_j + y_ij,j
     if cfg.z_fusion not in ("midpoint", "weighted"):
         raise ValueError("z_fusion must be 'midpoint' or 'weighted'")
     if cfg.use_pallas:
@@ -160,7 +167,7 @@ def admm_iteration(
         from dip_admm_tpu.ops.pallas import consensus as pallas_consensus
 
         Zn, Yn, pri_pair, dz2_pair = pallas_consensus.consensus_update(
-            Xn, Y, Z, A_T, data.adjm,
+            A_prop, Y, Z, A_T, data.adjm,
             w_own=data.W_own, w_all=data.W_all, fusion=cfg.z_fusion,
             tile=pallas_consensus.pick_tile(n),
             interpret=jax.default_backend() != "tpu",
@@ -177,11 +184,11 @@ def admm_iteration(
             Zn = 0.5 * (A_prop + A_T)
         Zn = Zn * am
 
-        # --- dual update (eq. 3 / ref ver2:225-230) ---
-        Yn = (Y + Xn[:, None, :] - Zn) * am
+        # --- dual update (eq. 3 / ref ver2:225-230): y + x̂ - z = a - z ---
+        Yn = (A_prop - Zn) * am
 
-        # --- residuals (eqs. 4-5 / ref ver2:232-264) ---
-        dpri = (Xn[:, None, :] - Zn) * am
+        # --- residuals (eqs. 4-5 / ref ver2:232-264): x̂ - z = a - y - z ---
+        dpri = (A_prop - Y - Zn) * am
         pri_node = jnp.sum(dpri * dpri, axis=(1, 2))  # [P_loc]
         r2 = comm.psum(jnp.sum(pri_node))
         dz = (Zn - Z) * am

@@ -1,11 +1,11 @@
 """Fused edge-consensus update as a Pallas TPU kernel.
 
-One outer ADMM iteration updates, for every edge slot (i, j) and pixel p:
+One outer ADMM iteration updates, for every edge slot (i, j) and pixel p,
+given the (possibly over-relaxed) proposals a_ij = x̂_ij + y_ij:
 
-    a_ij   = x_i + y_ij                     (proposal)
     z_ij   = fuse(a_ij, a_ji)              (midpoint or W-weighted, eq. 2)
-    y_ij  += x_i - z_ij                     (scaled dual, eq. 3)
-    pri   += (x_i - z_ij)^2, dz2 += (z_new - z_old)^2   (eqs. 4-5)
+    y_ij   = a_ij - z_ij                    (scaled dual, eq. 3: y + x̂ - z)
+    pri   += (x̂ - z_ij)^2 = (a - y - z)^2, dz2 += (z_new - z_old)^2  (eqs. 4-5)
 
 The jnp implementation (``core.admm.admm_iteration``) materializes ~6
 intermediate [P_loc, P, n] tensors — at 32 nodes x 512^2 that is tens of GB
@@ -15,9 +15,9 @@ VMEM, writes z/y in place, and accumulates the per-(i, j) residual partials
 across pixel tiles (first-tile-initializes, then adds — Pallas revisits the
 same output block for every tile index).
 
-The transposed proposals a_ji arrive as an input (they come from the
-``all_to_all`` collective in the sharded path; fusing across that boundary
-is a later-round exercise in Pallas remote DMA).
+Taking the proposals a (already materialized by the caller for the
+``all_to_all`` pair transpose) instead of x keeps the kernel agnostic to
+over-relaxation: a = alpha*x + (1-alpha)*z + y reduces to x + y at alpha=1.
 
 Numerics are identical to the jnp path (verified by equivalence tests, which
 run the kernel in interpreter mode on CPU).
@@ -49,20 +49,19 @@ def pick_tile(n: int, want: int = 2048) -> int:
     return n  # full-dim block (always legal)
 
 
-def _kernel_midpoint(x_ref, y_ref, z_ref, at_ref, adj_ref,
+def _kernel_midpoint(a_ref, y_ref, z_ref, at_ref, adj_ref,
                      zn_ref, yn_ref, pri_ref, dz2_ref):
     t = pl.program_id(2)
     adj = adj_ref[0, 0, 0, 0]
-    x = x_ref[0, 0, :]
+    a = a_ref[0, 0, :]
     y = y_ref[0, 0, :]
     z_old = z_ref[0, 0, :]
     a_t = at_ref[0, 0, :]
-    a = x + y
     zn = 0.5 * (a + a_t) * adj
-    yn = (y + x - zn) * adj
+    yn = (a - zn) * adj
     zn_ref[0, 0, :] = zn
     yn_ref[0, 0, :] = yn
-    dpri = (x - zn) * adj
+    dpri = (a - y - zn) * adj
     dz = (zn - z_old) * adj
     pri_part = jnp.sum(dpri * dpri)
     dz2_part = jnp.sum(dz * dz)
@@ -76,22 +75,21 @@ def _kernel_midpoint(x_ref, y_ref, z_ref, at_ref, adj_ref,
     dz2_ref[0, 0, 0, 0] += dz2_part
 
 
-def _kernel_weighted(x_ref, y_ref, z_ref, at_ref, adj_ref, wi_ref, wj_ref,
+def _kernel_weighted(a_ref, y_ref, z_ref, at_ref, adj_ref, wi_ref, wj_ref,
                      zn_ref, yn_ref, pri_ref, dz2_ref):
     t = pl.program_id(2)
     adj = adj_ref[0, 0, 0, 0]
-    x = x_ref[0, 0, :]
+    a = a_ref[0, 0, :]
     y = y_ref[0, 0, :]
     z_old = z_ref[0, 0, :]
     a_t = at_ref[0, 0, :]
     wi = wi_ref[0, 0, :]
     wj = wj_ref[0, 0, :]
-    a = x + y
     zn = ((wi * a + wj * a_t) / (wi + wj)) * adj
-    yn = (y + x - zn) * adj
+    yn = (a - zn) * adj
     zn_ref[0, 0, :] = zn
     yn_ref[0, 0, :] = yn
-    dpri = (x - zn) * adj
+    dpri = (a - y - zn) * adj
     dz = (zn - z_old) * adj
 
     @pl.when(t == 0)
@@ -107,7 +105,7 @@ def _kernel_weighted(x_ref, y_ref, z_ref, at_ref, adj_ref, wi_ref, wj_ref,
     jax.jit, static_argnames=("fusion", "tile", "interpret")
 )
 def consensus_update(
-    x: jnp.ndarray,  # [P_loc, n] new primal iterates
+    a: jnp.ndarray,  # [P_loc, P, n] proposals a_ij = x̂_ij + y_ij
     y: jnp.ndarray,  # [P_loc, P, n] duals
     z: jnp.ndarray,  # [P_loc, P, n] previous consensus
     a_t: jnp.ndarray,  # [P_loc, P, n] transposed proposals a_ji
@@ -125,14 +123,13 @@ def consensus_update(
     tile = min(tile, n)
     assert n % tile == 0, (n, tile)
     grid = (P_loc, P, n // tile)
-    dtype = x.dtype
+    dtype = a.dtype
     # TPU tiling rule: the last two dims of a VMEM block must be
     # (multiple-of-8 | full-dim, multiple-of-128 | full-dim). Flattening the
     # (i, j) pair axes into the unconstrained leading dim and carrying a
     # singleton middle axis makes every block [1, 1(full), tile].
     Pp = P_loc * P
     pair = lambda M: M.reshape(Pp, 1, n)
-    x3 = x[:, None, :]  # [P_loc, 1, n]
 
     pair_spec = pl.BlockSpec(
         (1, 1, tile), lambda i, j, t: (i * P + j, 0, t),
@@ -158,11 +155,11 @@ def consensus_update(
         zn, yn, pri, dz2 = pl.pallas_call(
             _kernel_midpoint,
             grid=grid,
-            in_specs=[x_spec, pair_spec, pair_spec, pair_spec, adj_spec],
+            in_specs=[pair_spec, pair_spec, pair_spec, pair_spec, adj_spec],
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
-        )(x3, pair(y), pair(z), pair(a_t),
+        )(pair(a), pair(y), pair(z), pair(a_t),
           adjm.astype(dtype).reshape(P_loc, P, 1, 1))
     elif fusion == "weighted":
         wj_spec = pl.BlockSpec((1, 1, tile), lambda i, j, t: (j, 0, t),
@@ -170,12 +167,12 @@ def consensus_update(
         zn, yn, pri, dz2 = pl.pallas_call(
             _kernel_weighted,
             grid=grid,
-            in_specs=[x_spec, pair_spec, pair_spec, pair_spec, adj_spec,
+            in_specs=[pair_spec, pair_spec, pair_spec, pair_spec, adj_spec,
                       x_spec, wj_spec],
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
-        )(x3, pair(y), pair(z), pair(a_t),
+        )(pair(a), pair(y), pair(z), pair(a_t),
           adjm.astype(dtype).reshape(P_loc, P, 1, 1),
           w_own[:, None, :], w_all[:, None, :])
     else:
@@ -188,18 +185,17 @@ def consensus_update(
     )
 
 
-def consensus_update_reference(x, y, z, a_t, adjm, w_own=None, w_all=None,
+def consensus_update_reference(a, y, z, a_t, adjm, w_own=None, w_all=None,
                                fusion="midpoint"):
     """Plain-jnp reference with identical semantics (for tests/fallback)."""
-    am = adjm[:, :, None].astype(x.dtype)
-    a = x[:, None, :] + y
+    am = adjm[:, :, None].astype(a.dtype)
     if fusion == "midpoint":
         zn = 0.5 * (a + a_t) * am
     else:
         wi = w_own[:, None, :]
         wj = w_all[None, :, :]
         zn = ((wi * a + wj * a_t) / (wi + wj)) * am
-    yn = (y + x[:, None, :] - zn) * am
-    dpri = (x[:, None, :] - zn) * am
+    yn = (a - zn) * am
+    dpri = (a - y - zn) * am
     dz = (zn - z) * am
     return zn, yn, jnp.sum(dpri * dpri, -1), jnp.sum(dz * dz, -1)

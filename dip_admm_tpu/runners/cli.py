@@ -36,6 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-inner", type=int, default=200)
     p.add_argument("--z-fusion", choices=["midpoint", "weighted"],
                    default="midpoint")
+    p.add_argument("--relax-alpha", type=float, default=1.0,
+                   help="ADMM over-relaxation factor (1.0 = reference)")
     p.add_argument("--noise", type=float, default=0.005)
     p.add_argument("--phantom", choices=["const", "rand", "shepp"],
                    default="const")
@@ -86,6 +88,7 @@ def config_from_args(args) -> "ProblemConfig":
             lam_tv=args.lam_tv, rho=args.rho, max_iters=args.max_iters,
             eps_pri=args.eps_pri, eps_dual=args.eps_dual,
             z_fusion=args.z_fusion,
+            relax_alpha=getattr(args, "relax_alpha", 1.0),
             use_pallas=getattr(args, "use_pallas", False),
             node=NodeSolverConfig(max_inner=args.max_inner),
         ),

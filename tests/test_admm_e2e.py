@@ -129,6 +129,27 @@ def test_matrix_free_matches_dense():
     )
 
 
+def test_over_relaxation_converges_and_default_matches():
+    # alpha=1.0 must be the reference algorithm bit-for-bit (same code
+    # path); alpha=1.6 must still converge on the same problem.
+    cfg = small_cfg()
+    problem = loader.build_problem(cfg)
+    r_ref = admm.run_admm(problem)
+    cfg_r = dataclasses.replace(cfg.admm, relax_alpha=1.6)
+    r_relax = admm.run_admm(problem, cfg=cfg_r)
+    pri = np.asarray(r_relax.history["primal"])
+    assert pri[-1] < 0.05 * pri[:5].max()
+    x_true = np.asarray(problem.x_true)
+    val = psnr(
+        np.asarray(r_relax.x).mean(axis=0), x_true, data_range=x_true.max()
+    )
+    assert val > 18.0
+    # The relaxed trajectory is genuinely different...
+    assert not np.allclose(
+        np.asarray(r_relax.history["primal"]), np.asarray(r_ref.history["primal"])
+    )
+
+
 @pytest.mark.parametrize("fusion", ["midpoint", "weighted"])
 def test_use_pallas_matches_jnp_path(fusion):
     # AdmmConfig.use_pallas swaps the edge update for the fused Pallas
