@@ -343,6 +343,8 @@ def run_admm_snapshots(
             )
         if bool(state.stop) or int(state.k) >= cfg.max_iters:
             break
+    if snapshot_dir is not None:
+        artifacts.flush_async()
     return res
 
 

@@ -173,10 +173,16 @@ def _node_colnorms(mode: str, cfg: GeometryConfig, angles, valid, A=None):
         W = jax.vmap(lambda a, v: radon_fft.colnorms_sq(cfg, a, v))(
             angles, valid
         )
+    elif mode.startswith("fft") and cfg.fan_beam:
+        # Rebinned fan operator: exact parallel-stage column norms on the
+        # rebinned geometry (x2 for the 2*pi periodization).
+        from dip_admm_tpu.ops import radon_fan
+
+        W = jax.vmap(lambda a, v: radon_fan.colnorms_sq(cfg, a, v))(
+            angles, valid
+        )
     else:
-        # joseph mode (exact) and fan+fft mode (the 2-tap gather column
-        # norms are used as the precision heuristic for the rebinned
-        # operator — setup-time only).
+        # joseph/dense modes: exact 2-tap column norms for that operator.
         W = jax.vmap(lambda a, v: radon.colnorms_sq(cfg, a, v))(angles, valid)
     return jnp.maximum(W.reshape(W.shape[0], -1), precisions.EPS)
 

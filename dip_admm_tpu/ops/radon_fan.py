@@ -86,6 +86,32 @@ def precompute_fan(
     return tables
 
 
+def colnorms_sq(cfg: GeometryConfig, beta: jnp.ndarray, valid=None):
+    """W[p] = ||A[:, p]||^2 for the rebinned fan operator.
+
+    Exact column norms of the parallel stage evaluated on the rebinned
+    geometry (theta grid over [0, pi), detector positions s_l), treating the
+    angular rebin filter as norm-preserving per detector column (exact for
+    integer shifts; the fractional linear-interp tap attenuates only the
+    highest angular frequencies, a few-%% effect). Replaces the 2-tap
+    gather heuristic previously used for fan precision weights
+    (ref weights semantics: ``block_3_graph_and_precisions.py:21-24``)."""
+    assert cfg.fan_beam
+    m = beta.shape[0]
+    T_p = m // 2
+    D = cfg.n_det
+    dets = jnp.asarray(
+        radon.detector_centers(D, cfg.det_width_factor * 2.0), jnp.float32
+    )
+    gamma = jnp.arctan(dets / (cfg.src_radius + cfg.det_radius))
+    s_l = -cfg.src_radius * jnp.sin(gamma)
+    theta = (jnp.arange(T_p, dtype=jnp.float32) + 0.5) * (jnp.pi / T_p)
+    del valid  # rebinning requires the full uniform beta grid
+    # Factor 2: the 2*pi periodization duplicates every parallel sample
+    # (p2 = concat([p, p[:, ::-1]])) before the norm-preserving phase shift.
+    return 2.0 * radon_fft.colnorms_sq(_parallel_cfg(cfg), theta, dets=s_l)
+
+
 def project(
     cfg: GeometryConfig,
     img: jnp.ndarray,

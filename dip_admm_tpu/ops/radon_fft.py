@@ -411,17 +411,19 @@ def colnorms_sq(
     angles: jnp.ndarray,
     valid: jnp.ndarray | None = None,
     block: int = 4,
+    dets=None,
 ) -> jnp.ndarray:
     """Exact W[p] = ||A[:, p]||^2 for the composite-kernel operator.
 
     Each pixel contributes once per ray through the composite weight
     w = sum_v hat(p - v) hat(v + sigma - i), so W = sum_rays w^2. Evaluated
     by materializing the [D, N, N] weight block per small angle chunk
-    (setup-time only; lax.map over chunks bounds memory)."""
+    (setup-time only; lax.map over chunks bounds memory). ``dets`` overrides
+    the uniform detector grid (fan rebinning)."""
     if cfg.fan_beam:
         raise NotImplementedError
     N = cfg.N
-    (Pr, Br, Cr, sr), (Pc, Bc, Cc, sc), use_r = _coeffs(cfg, angles)
+    (Pr, Br, Cr, sr), (Pc, Bc, Cc, sc), use_r = _coeffs(cfg, angles, dets)
     T = angles.shape[0]
     vmask = jnp.ones((T,), bool) if valid is None else valid
 

@@ -102,6 +102,7 @@ def run_one_strategy(
         artifacts.save_history_artifacts(
             hist, n_iters, out_dir, tag, m_per_node=m_per_node, N=N
         )
+        artifacts.flush_async()
 
     return x, hist, summary
 

@@ -64,3 +64,45 @@ def test_valid_mask():
     out = np.asarray(radon_fan.project(CFG, img, beta, valid))
     assert (out[60:] == 0).all()
     assert np.abs(out[:60]).max() > 0
+
+
+def test_fan_colnorms_match_brute_force():
+    # W[p] = ||A_fan[:, p]||^2 for the rebinned operator, against columns
+    # materialized by projecting basis images (setup-scale oracle).
+    import jax
+    import jax.numpy as jnp
+
+    from dip_admm_tpu.config import GeometryConfig
+    from dip_admm_tpu.ops import radon_fan
+
+    N = 16
+    cfg = GeometryConfig(N=N, num_nodes=1, fan_beam=True, angles_total=24)
+    beta = jnp.asarray(
+        (jnp.arange(24, dtype=jnp.float32) + 0.5) * (2 * jnp.pi / 24)
+    )
+    tables = radon_fan.precompute_fan(cfg, beta)
+
+    def col(p):
+        e = jnp.zeros((N * N,)).at[p].set(1.0).reshape(N, N)
+        s = radon_fan.project(cfg, e, beta, tables=tables)
+        return jnp.sum(s * s)
+
+    W_brute = np.asarray(jax.lax.map(col, jnp.arange(N * N)))
+    W = np.asarray(radon_fan.colnorms_sq(cfg, beta)).reshape(-1)
+    mask = W_brute > 0.05 * W_brute.max()
+    ratio = W[mask] / W_brute[mask]
+    # Exact at the center (the rebin phase shift is norm-preserving there);
+    # the fractional interp tap attenuates edge pixels' high angular
+    # frequencies, so the closed form overestimates those by up to ~1.6x —
+    # still strictly tighter everywhere than the old 2-tap heuristic
+    # (measured med 1.41/max 1.56 vs med 1.84/max 2.52 at this geometry).
+    assert ratio.min() > 0.95, ratio.min()
+    assert ratio.max() < 1.65, ratio.max()
+    from dip_admm_tpu.ops import radon as radon_mod
+
+    W_old = np.asarray(
+        radon_mod.colnorms_sq(cfg, beta, jnp.ones(beta.shape[0], bool))
+    ).reshape(-1)
+    old_err = np.abs(W_old[mask] / W_brute[mask] - 1.0)
+    new_err = np.abs(ratio - 1.0)
+    assert np.median(new_err) < np.median(old_err)
