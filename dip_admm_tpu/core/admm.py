@@ -363,6 +363,14 @@ def run_admm_batched(
     Returns an AdmmResult with a leading batch axis on every array.
     """
     cfg = cfg if cfg is not None else problem.cfg.admm
+    if problem.mode == "fft_pallas":
+        # jax.custom_transpose (the Pallas projector's adjoint registration)
+        # has no vmap rule; scenario batching uses the fft/dense paths.
+        raise ValueError(
+            "run_admm_batched does not support mode='fft_pallas' "
+            "(custom_transpose is not vmappable); build the problem with "
+            "mode='fft' or 'dense' for scenario batching"
+        )
     if x_true_batch is None:
         x_true_batch = jnp.broadcast_to(
             problem.x_true[None], (b_batch.shape[0],) + problem.x_true.shape

@@ -142,6 +142,30 @@ def test_mode_admm_trajectory_matches_fft():
     )
 
 
+def test_scenario_batching_rejected_with_clear_error():
+    import jax.numpy as jnp
+
+    cfg = _cfg()
+    problem = loader.build_problem(cfg, mode="fft_pallas")
+    bb = jnp.stack([problem.b, problem.b])
+    with pytest.raises(ValueError, match="fft_pallas"):
+        admm.run_admm_batched(problem, bb)
+
+
+def test_use_pallas_consensus_supports_batching():
+    # The consensus kernel (pallas_call) vmaps; scenario batching with
+    # use_pallas on the dense projector must work.
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, admm=dataclasses.replace(cfg.admm, use_pallas=True)
+    )
+    problem = loader.build_problem(cfg, mode="dense")
+    bb = jnp.stack([problem.b, problem.b * 1.1])
+    res = admm.run_admm_batched(problem, bb)
+    assert res.x.shape == (2, 3, cfg.geometry.n)
+    assert np.isfinite(np.asarray(res.x)).all()
+
+
 def test_fan_beam_rejected():
     geo = GeometryConfig(N=16, num_nodes=2, fan_beam=True, angles_total=24)
     cfg = dataclasses.replace(_cfg(), geometry=geo)
