@@ -94,3 +94,36 @@ def test_sharded_matrix_free():
     np.testing.assert_allclose(
         np.asarray(got.x), np.asarray(ref.x), rtol=1e-3, atol=1e-3
     )
+
+
+def test_sharded_matches_single_device_fft_pallas():
+    # The Pallas projector mode must compose with the shard_map runtime
+    # (interpret-mode kernels inside shard_map on the virtual mesh).
+    import numpy as np
+
+    from dip_admm_tpu.config import (
+        AdmmConfig,
+        GeometryConfig,
+        GraphConfig,
+        NodeSolverConfig,
+        ProblemConfig,
+    )
+    from dip_admm_tpu.core import admm
+    from dip_admm_tpu.data import loader
+    from dip_admm_tpu.parallel import admm_sharded
+    from dip_admm_tpu.parallel.mesh import make_mesh
+
+    cfg = ProblemConfig(
+        geometry=GeometryConfig(N=16, num_nodes=8, angles_total=48),
+        graph=GraphConfig(strategy="knn", k=1),
+        admm=AdmmConfig(
+            max_iters=3, eps_pri=1e-9, eps_dual=1e-9,
+            node=NodeSolverConfig(max_inner=20, check_every=10),
+        ),
+    )
+    problem = loader.build_problem(cfg, mode="fft_pallas")
+    r1 = admm.run_admm(problem)
+    r8 = admm_sharded.run_admm_sharded(problem, mesh=make_mesh(8))
+    np.testing.assert_allclose(
+        np.asarray(r8.x), np.asarray(r1.x), rtol=1e-4, atol=1e-5
+    )
