@@ -36,16 +36,31 @@ def _pick(dim: int, want: int, mult: int = 8) -> int:
 
 
 def _fwd_kernel(g_ref, pc_ref, s_ref, out_ref):
-    g = g_ref[0]  # [tt, Np]
+    vb = pl.program_id(3)
+    g = g_ref[0]  # [tt, vt]
     pc = pc_ref[0]  # [tt, dt]
     s = s_ref[0]  # [tt, 1]
-    Np = g.shape[-1]
-    v = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Np), 2).astype(jnp.float32)
+    vt = g.shape[-1]
+    # v tiled across the grid: bounds the w working set to [tt, dt, vt]
+    # (the untiled [tt, dt, Np] temp is 8 MB at 512^2 — VMEM thrash).
+    v0 = (vb * vt).astype(jnp.float32)
+    v = v0 + jax.lax.broadcasted_iota(jnp.int32, (1, 1, vt), 2).astype(
+        jnp.float32
+    )
     w = jnp.maximum(0.0, 1.0 - jnp.abs(pc[:, :, None] - v))
-    out_ref[0] = s * jnp.sum(w * g[:, None, :], axis=2)
+    part = s * jnp.sum(w * g[:, None, :], axis=2)
+
+    @pl.when(vb == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    out_ref[0] += part
 
 
 def _t_kernel(ob_ref, pc_ref, s_ref, gb_ref):
+    # d kept whole per block: tiling d (accumulating gb across an inner d
+    # axis) measured 6x SLOWER at 512^2 — the [tt, D, vt] temp (2 MB)
+    # pipelines fine, unlike the forward kernel's untiled 8 MB one.
     vb = pl.program_id(2)
     ob = ob_ref[0]  # [tt, D]
     pc = pc_ref[0]  # [tt, D]
@@ -65,14 +80,15 @@ def _fwd_pallas(g, pc, s, interpret=False):
     D = pc.shape[-1]
     tt = _pick(T, 8)
     dt = _pick(D, 128, mult=128)
-    grid = (P, T // tt, D // dt)
-    g_spec = pl.BlockSpec((1, tt, Np), lambda p, tb, db: (p, tb, 0),
+    vt = _pick(Np, 256, mult=128)
+    grid = (P, T // tt, D // dt, Np // vt)  # v innermost: accumulation
+    g_spec = pl.BlockSpec((1, tt, vt), lambda p, tb, db, vb: (p, tb, vb),
                           memory_space=pltpu.VMEM)
-    pc_spec = pl.BlockSpec((1, tt, dt), lambda p, tb, db: (p, tb, db),
+    pc_spec = pl.BlockSpec((1, tt, dt), lambda p, tb, db, vb: (p, tb, db),
                            memory_space=pltpu.VMEM)
-    s_spec = pl.BlockSpec((1, tt, 1), lambda p, tb, db: (p, tb, 0),
+    s_spec = pl.BlockSpec((1, tt, 1), lambda p, tb, db, vb: (p, tb, 0),
                           memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, tt, dt), lambda p, tb, db: (p, tb, db),
+    out_spec = pl.BlockSpec((1, tt, dt), lambda p, tb, db, vb: (p, tb, db),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _fwd_kernel,
