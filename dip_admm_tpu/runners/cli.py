@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fft-table-dtype", choices=["float32", "bfloat16"],
                    default="float32",
                    help="storage dtype of the fft-projector phase tables")
+    p.add_argument("--snapshot-every", type=int, default=None,
+                   help="write per-node reconstruction snapshots every K "
+                        "outer iterations (ref block_6 ver2:269-281)")
     p.add_argument("--per-node-phantoms", action="store_true",
                    help="each node measures its own randomized phantom "
                         "(build-mode loader parity, ref "
@@ -127,12 +130,14 @@ def main(argv=None) -> None:
 
     def go():
         pnp = getattr(args, "per_node_phantoms", False)
+        snap = getattr(args, "snapshot_every", None)
         if args.all_strategies:
             return experiment.run_all_strategies(
                 cfg, out_root, mesh=mesh, mode=mode, per_node_phantoms=pnp
             )
         _, _, summary = experiment.run_one_strategy(
-            cfg, out_root, mesh=mesh, mode=mode, per_node_phantoms=pnp
+            cfg, out_root, mesh=mesh, mode=mode, per_node_phantoms=pnp,
+            snapshot_every=snap,
         )
         return {args.strategy: summary}
 

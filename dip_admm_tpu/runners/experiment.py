@@ -37,9 +37,13 @@ def run_one_strategy(
     write_artifacts: bool = True,
     mode: Optional[str] = None,
     per_node_phantoms: bool = False,
+    snapshot_every: Optional[int] = None,
 ):
     """Run decentralized ADMM for one graph strategy; returns
-    (x [P, n] numpy, history dict numpy, summary dict)."""
+    (x [P, n] numpy, history dict numpy, summary dict).
+
+    ``snapshot_every`` writes per-node reconstruction snapshots every K
+    outer iterations (single-device path; ref block_6 ver2:269-281)."""
     if strategy is not None or k is not None:
         g = cfg.graph
         g = dataclasses.replace(
@@ -67,6 +71,12 @@ def run_one_strategy(
         from dip_admm_tpu.parallel import admm_sharded
 
         res = admm_sharded.run_admm_sharded(problem, cfg.admm, mesh=mesh)
+    elif snapshot_every is not None:
+        res = admm.run_admm_snapshots(
+            problem, cfg.admm,
+            snapshot_dir=os.path.join(out_dir, "snapshots"),
+            snapshot_every=snapshot_every,
+        )
     else:
         res = admm.run_admm(problem, cfg.admm)
 
