@@ -363,11 +363,11 @@ def run_admm_batched(
     Returns an AdmmResult with a leading batch axis on every array.
     """
     cfg = cfg if cfg is not None else problem.cfg.admm
-    if problem.mode == "fft_pallas":
+    if problem.mode in ("fft_pallas", "fft_mxu"):
         # jax.custom_transpose (the Pallas projector's adjoint registration)
         # has no vmap rule; scenario batching uses the fft/dense paths.
         raise ValueError(
-            "run_admm_batched does not support mode='fft_pallas' "
+            f"run_admm_batched does not support mode={problem.mode!r} "
             "(custom_transpose is not vmappable); build the problem with "
             "mode='fft' or 'dense' for scenario batching"
         )

@@ -320,6 +320,103 @@ def project_nodes_merged(cfg: GeometryConfig, imgs, tables):
     return t["s"][..., None] * out
 
 
+def precompute_merged_mxu(
+    cfg: GeometryConfig, angles, valid=None, table_dtype=jnp.float32
+):
+    """Node-batched MXU-layout tables for :func:`project_nodes_mxu`.
+
+    Builds the merged-branch tables (:func:`precompute_merged`), then
+    regroups each node's angle rows so every tt-angle block contracts a
+    single image-orientation spectrum (``filter_mxu.plan_branch_groups``)
+    and pre-tiles the phase tables to the [P, FB, NB, Tp, tn*128] matmul
+    layout. ``angles``/``valid`` are batched [P, T]; the slot permutation is
+    internal — ``p``/``s`` stay in original angle order and the projector
+    unpermutes the spectra right after the kernel.
+    """
+    from dip_admm_tpu.ops.pallas import filter_mxu
+
+    P, T = angles.shape
+    if valid is None:
+        valid = jnp.ones((P, T), bool)
+    merged = jax.jit(
+        jax.vmap(
+            lambda a, v: precompute_merged(cfg, a, v, table_dtype=table_dtype)
+        )
+    )((jnp.asarray(angles, jnp.float32)), valid)
+    use_c = np.asarray(merged["sel"])[:, :, 0] > 0.5
+    plan = filter_mxu.plan_branch_groups(use_c, np.asarray(valid))
+    F = merged["Hre"].shape[-1]
+    Fpad = -(-F // 128) * 128
+    tn = filter_mxu.pick_tn(cfg.N)
+    src = jnp.asarray(plan["src_slot"])
+    tile = jax.jit(
+        functools.partial(filter_mxu.tile_table, Fpad=Fpad, tn=tn)
+    )
+    # DFT matrices keep the node axis (geometry-global but the sharded
+    # runtime shards every table leaf over its leading node dim).
+    Ere = jnp.pad(merged["Ere"], ((0, 0), (0, 0), (0, Fpad - F)))
+    Eim = jnp.pad(merged["Eim"], ((0, 0), (0, 0), (0, Fpad - F)))
+    Cre = jnp.pad(merged["Cre"], ((0, 0), (0, Fpad - F), (0, 0)))
+    Cim = jnp.pad(merged["Cim"], ((0, 0), (0, Fpad - F), (0, 0)))
+    return {
+        "Hre_t": tile(merged["Hre"], src),
+        "Him_t": tile(merged["Him"], src),
+        "onehot": jnp.asarray(plan["onehot"]),
+        "posfull": jnp.asarray(plan["posfull"]),
+        "invposfull": jnp.asarray(plan["invposfull"]),
+        "p": merged["p"], "s": merged["s"],
+        "Ere": Ere, "Eim": Eim, "Cre": Cre, "Cim": Cim,
+    }
+
+
+def project_nodes_mxu(cfg: GeometryConfig, imgs, tables):
+    """Batched forward projection [P, N, N] -> [P, T, D] on MXU-layout
+    tables (:func:`precompute_merged_mxu`): DFT matmuls + the MXU filter-sum
+    kernel + slot unpermute + hat evaluation. Parallel beam only."""
+    if cfg.fan_beam:
+        raise NotImplementedError("fft_mxu supports parallel beam only")
+    from dip_admm_tpu.ops.pallas.filter_mxu import (
+        filter_sum_mxu, permute_rows,
+    )
+    from dip_admm_tpu.ops.pallas.hat_eval import hat_eval
+
+    t = tables
+    P, N, _ = imgs.shape
+    Np = t["Cre"].shape[-1]
+    rows2 = jnp.stack([imgs, imgs.transpose(0, 2, 1)], axis=1)  # [P,2,N,N]
+    ein = functools.partial(jnp.einsum, preferred_element_type=jnp.float32)
+    rre2 = ein("ponv,pvf->ponf", rows2, t["Ere"])
+    rim2 = ein("ponv,pvf->ponf", rows2, t["Eim"])
+    # per-angle-block spectrum plane (transposable gather via one-hot)
+    rre_s = ein("ponf,pto->ptnf", rre2, t["onehot"])
+    rim_s = ein("ponf,pto->ptnf", rim2, t["onehot"])
+    g_re, g_im = filter_sum_mxu(
+        rre_s, rim_s, t["Hre_t"], t["Him_t"], t["onehot"]
+    )
+    T, D = t["p"].shape[-2:]
+    g_re = permute_rows(g_re, t["posfull"], t["invposfull"])[:, :T]
+    g_im = permute_rows(g_im, t["posfull"], t["invposfull"])[:, :T]
+    g = ein("ptf,pfv->ptv", g_re, t["Cre"]) + ein(
+        "ptf,pfv->ptv", g_im, t["Cim"]
+    )
+    if P * T * D * Np * 4 > 1.5e9:
+        return hat_eval(g, t["p"], t["s"][..., None]).astype(imgs.dtype)
+    g = g.astype(imgs.dtype)
+    v_idx = jnp.arange(Np, dtype=imgs.dtype)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(t["p"][..., None] - v_idx))
+    out = jnp.einsum("ptdv,ptv->ptd", w, g)
+    return t["s"][..., None] * out
+
+
+def backproject_nodes_mxu(cfg: GeometryConfig, sinos, tables):
+    """Exact adjoint of :func:`project_nodes_mxu`."""
+    P = sinos.shape[0]
+    N = cfg.N
+    f = lambda x: project_nodes_mxu(cfg, x, tables)
+    (out,) = jax.linear_transpose(f, jnp.zeros((P, N, N), sinos.dtype))(sinos)
+    return out
+
+
 def backproject_nodes_merged(cfg: GeometryConfig, sinos, tables):
     """Exact adjoint of :func:`project_nodes_merged`."""
     P = sinos.shape[0]

@@ -65,12 +65,17 @@ def main():
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     P = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     chain = int(sys.argv[3]) if len(sys.argv) > 3 else 30
-    print(f"backend: {jax.devices()[0].platform} ({jax.devices()[0]})")
-    for mode, tdt in (
+    combos = (
         ("fft", "float32"),
         ("fft_pallas", "float32"),
         ("fft_pallas", "bfloat16"),
-    ):
+    )
+    if len(sys.argv) > 4:  # e.g. "fft_mxu:bfloat16,fft_pallas:bfloat16"
+        combos = tuple(
+            tuple(c.split(":")) for c in sys.argv[4].split(",")
+        )
+    print(f"backend: {jax.devices()[0].platform} ({jax.devices()[0]})")
+    for mode, tdt in combos:
         bench(mode, tdt, N, P, chain)
 
 
