@@ -363,7 +363,7 @@ def run_admm_batched(
     Returns an AdmmResult with a leading batch axis on every array.
     """
     cfg = cfg if cfg is not None else problem.cfg.admm
-    if problem.mode in ("fft_pallas", "fft_mxu"):
+    if problem.mode in ("fft_pallas", "fft_mxu", "fft_grouped"):
         # jax.custom_transpose (the Pallas projector's adjoint registration)
         # has no vmap rule; scenario batching uses the fft/dense paths.
         raise ValueError(

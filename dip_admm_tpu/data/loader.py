@@ -149,6 +149,19 @@ def make_node_ops(
         adj = lambda r: proj_mod.backproject_nodes_mxu(
             geo, r.reshape(r.shape[0], -1, D), tables
         ).reshape(r.shape[0], -1)
+    elif mode == "fft_grouped":
+        from dip_admm_tpu.ops import radon_fft as proj_mod
+
+        if geo.fan_beam:
+            raise NotImplementedError("fft_grouped supports parallel beam only")
+        if tables is None:
+            tables = proj_mod.precompute_grouped(geo, angles, valid)
+        fwd = lambda x: proj_mod.project_nodes_grouped(
+            geo, x.reshape(-1, N, N), tables
+        ).reshape(x.shape[0], -1)
+        adj = lambda r: proj_mod.backproject_nodes_grouped(
+            geo, r.reshape(r.shape[0], -1, D), tables
+        ).reshape(r.shape[0], -1)
     elif mode == "fft":
         if geo.fan_beam:
             from dip_admm_tpu.ops import radon_fan as proj_mod
@@ -246,6 +259,10 @@ def build_fft_tables(cfg: ProblemConfig, angles, valid, mode: str = "fft"):
         from dip_admm_tpu.ops import radon_fft
 
         return radon_fft.precompute_merged_mxu(geo, angles, valid, tdt)
+    elif mode == "fft_grouped":
+        from dip_admm_tpu.ops import radon_fft
+
+        return radon_fft.precompute_grouped(geo, angles, valid, tdt)
     elif mode == "fft_pallas":
         from dip_admm_tpu.ops import radon_fft
 

@@ -179,14 +179,18 @@ def _fwd_kernel(hre_ref, him_ref, rre_ref, rim_ref, gre_ref, gim_ref):
     him = him_ref[0, 0, 0]
     tdt = hre.dtype
     tn = rre_ref.shape[-2]
-    rre = rre_ref[0, 0].astype(tdt)  # [tn, 128]
-    rim = rim_ref[0, 0].astype(tdt)
+    rre = rre_ref[0, 0]  # [tn, 128] f32
+    rim = rim_ref[0, 0]
     i1 = jax.lax.broadcasted_iota(jnp.int32, (tn, 128, 128), 1)
     i2 = jax.lax.broadcasted_iota(jnp.int32, (tn, 128, 128), 2)
     eye = i1 == i2
-    zero = jnp.zeros((), tdt)
-    Rre = jnp.where(eye, rre[:, :, None], zero).reshape(tn * 128, 128)
-    Rim = jnp.where(eye, rim[:, :, None], zero).reshape(tn * 128, 128)
+    # Eye-expansion stays f32: Mosaic only supports the minor-dim insert
+    # (rre[:, :, None]) for 32-bit types; cast to the table dtype after the
+    # collapse-reshape instead.
+    Rre = jnp.where(eye, rre[:, :, None], 0.0).reshape(tn * 128, 128)
+    Rim = jnp.where(eye, rim[:, :, None], 0.0).reshape(tn * 128, 128)
+    Rre = Rre.astype(tdt)
+    Rim = Rim.astype(tdt)
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
     gre = dot(hre, Rre) - dot(him, Rim)  # [tt, 128] f32
     gim = dot(hre, Rim) + dot(him, Rre)

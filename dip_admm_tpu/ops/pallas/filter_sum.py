@@ -313,6 +313,124 @@ def _t_sel_pallas(gre_b, gim_b, Hre, Him, sel, interpret=False):
     )(gre_b, gim_b, Hre, Him, sel)
 
 
+def _grp_tn(N: int, tt: int, F: int) -> int:
+    """Row tile for the grouped kernels: fit the [tt, tn, F] f32 working set
+    in scoped VMEM given the plan-fixed angle block tt."""
+    fpad = -(-F // 128) * 128
+    tn = _pick(N, 32, mult=16)
+    while tn > 16 and tt * tn * fpad > 400_000:
+        nxt = _pick(N, tn // 2, mult=16)
+        if nxt >= tn:
+            break
+        tn = nxt
+    return tn
+
+
+def _fwd_grp_kernel(rre_ref, rim_ref, hre_ref, him_ref, gre_ref, gim_ref):
+    nb = pl.program_id(1)
+    rre = rre_ref[0, 0]  # [tn, F] f32 — this block's (single) spectrum plane
+    rim = rim_ref[0, 0]
+    hre = hre_ref[0].astype(jnp.float32)  # [tt, tn, F]
+    him = him_ref[0].astype(jnp.float32)
+    gre = jnp.sum(rre[None] * hre - rim[None] * him, axis=1)  # [tt, F]
+    gim = jnp.sum(rre[None] * him + rim[None] * hre, axis=1)
+
+    @pl.when(nb == 0)
+    def _():
+        gre_ref[0] = jnp.zeros_like(gre_ref[0])
+        gim_ref[0] = jnp.zeros_like(gim_ref[0])
+
+    gre_ref[0] += gre
+    gim_ref[0] += gim
+
+
+def _t_grp_kernel(gre_ref, gim_ref, hre_ref, him_ref, rre_ref, rim_ref):
+    # Pure map: each (angle-block, row-block) writes its own output block —
+    # no cross-step accumulation (the cross-block plane reduction is the
+    # transposed one-hot einsum OUTSIDE the kernel).
+    gre = gre_ref[0]  # [tt, F] f32
+    gim = gim_ref[0]
+    hre = hre_ref[0].astype(jnp.float32)  # [tt, tn, F]
+    him = him_ref[0].astype(jnp.float32)
+    rre_ref[0, 0] = jnp.sum(gre[:, None] * hre + gim[:, None] * him, axis=0)
+    rim_ref[0, 0] = jnp.sum(gim[:, None] * hre - gre[:, None] * him, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fwd_grp_pallas(rre_s, rim_s, Hre, Him, interpret=False):
+    P, Tp, N, F = Hre.shape
+    TB = rre_s.shape[1]
+    tt = Tp // TB
+    tn = _grp_tn(N, tt, F)
+    grid = (P * TB, N // tn)  # n innermost: accumulation axis
+    r_spec = pl.BlockSpec(
+        (1, 1, tn, F), lambda q, nb: (q // TB, q % TB, nb, 0),
+        memory_space=pltpu.VMEM,
+    )
+    h_spec = pl.BlockSpec(
+        (1, tt, tn, F), lambda q, nb: (q // TB, q % TB, nb, 0),
+        memory_space=pltpu.VMEM,
+    )
+    g_spec = pl.BlockSpec(
+        (1, tt, F), lambda q, nb: (q // TB, q % TB, 0),
+        memory_space=pltpu.VMEM,
+    )
+    bytes_h = Hre.size * Hre.dtype.itemsize * 2
+    return pl.pallas_call(
+        _fwd_grp_kernel,
+        grid=grid,
+        in_specs=[r_spec, r_spec, h_spec, h_spec],
+        out_specs=(g_spec, g_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((P, Tp, F), jnp.float32),
+            jax.ShapeDtypeStruct((P, Tp, F), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * P * Tp * N * F,
+            bytes_accessed=bytes_h + rre_s.size * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(rre_s, rim_s, Hre, Him)
+
+
+@functools.partial(jax.jit, static_argnames=("TB", "interpret"))
+def _t_grp_pallas(gre_b, gim_b, Hre, Him, TB, interpret=False):
+    P, Tp, N, F = Hre.shape
+    tt = Tp // TB
+    tn = _grp_tn(N, tt, F)
+    grid = (P * TB, N // tn)
+    g_spec = pl.BlockSpec(
+        (1, tt, F), lambda q, nb: (q // TB, q % TB, 0),
+        memory_space=pltpu.VMEM,
+    )
+    h_spec = pl.BlockSpec(
+        (1, tt, tn, F), lambda q, nb: (q // TB, q % TB, nb, 0),
+        memory_space=pltpu.VMEM,
+    )
+    r_spec = pl.BlockSpec(
+        (1, 1, tn, F), lambda q, nb: (q // TB, q % TB, nb, 0),
+        memory_space=pltpu.VMEM,
+    )
+    bytes_h = Hre.size * Hre.dtype.itemsize * 2
+    return pl.pallas_call(
+        _t_grp_kernel,
+        grid=grid,
+        in_specs=[g_spec, g_spec, h_spec, h_spec],
+        out_specs=(r_spec, r_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((P, TB, N, F), jnp.float32),
+            jax.ShapeDtypeStruct((P, TB, N, F), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * P * Tp * N * F,
+            bytes_accessed=bytes_h + gre_b.size * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(gre_b, gim_b, Hre, Him)
+
+
 def _interp() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -367,6 +485,58 @@ def filter_sum_sel(rre2, rim2, Hre, Him, sel):
     P, T, N, F = Hre.shape
     aval = jax.core.ShapedArray((P, T, F), jnp.float32)
     return _filter_sum_sel_ct((aval, aval), (Hre, Him, sel), (rre2, rim2))
+
+
+@jax.custom_transpose.custom_transpose
+def _filter_sum_grp_ct(res, lin):
+    Hre, Him, onehot = res
+    rre_s, rim_s = lin
+    return _fwd_grp_pallas(rre_s, rim_s, Hre, Him, interpret=_interp())
+
+
+@_filter_sum_grp_ct.def_transpose
+def _filter_sum_grp_transpose(res, out_bar):
+    Hre, Him, onehot = res
+    gre_b, gim_b = out_bar
+    return _t_grp_pallas(
+        gre_b, gim_b, Hre, Him, TB=onehot.shape[1], interpret=_interp()
+    )
+
+
+def filter_sum_grouped(rre_s, rim_s, Hre_g, Him_g, onehot):
+    """Branch-grouped select-free filter-sum:
+
+        g[p, t, f] = sum_n r_s[p, blk(t), n, f] * H[p, t, n, f]
+
+    Hre_g/Him_g [P, Tp, N, F]: merged phase tables with rows permuted into
+    branch-grouped slot order (``filter_mxu.plan_branch_groups``) so every
+    tt-angle block contracts a single spectrum plane; rre_s/rim_s
+    [P, TB, N, F]: that block's selected spectrum (the one-hot gather done
+    outside). No in-kernel select — the forward is the plain 8-op complex
+    FMA, the transpose a pure map (each block owns its output, no
+    accumulate) at half the select kernel's arithmetic. ``onehot``
+    [P, TB, 2] rides along so the transpose rule can recover TB. Output
+    [P, Tp, F] f32 pair in slot order; linear in (rre_s, rim_s) with a
+    registered transpose."""
+    P, Tp, N, F = Hre_g.shape
+    aval = jax.core.ShapedArray((P, Tp, F), jnp.float32)
+    return _filter_sum_grp_ct(
+        (aval, aval), (Hre_g, Him_g, onehot), (rre_s, rim_s)
+    )
+
+
+def filter_sum_grouped_reference(rre_s, rim_s, Hre_g, Him_g):
+    """Plain-jnp reference of the slot-order grouped contraction."""
+    P, Tp, N, F = Hre_g.shape
+    TB = rre_s.shape[1]
+    tt = Tp // TB
+    rre = jnp.repeat(rre_s, tt, axis=1)  # [P, Tp, N, F]
+    rim = jnp.repeat(rim_s, tt, axis=1)
+    Hre32 = Hre_g.astype(jnp.float32)
+    Him32 = Him_g.astype(jnp.float32)
+    g_re = jnp.sum(rre * Hre32 - rim * Him32, axis=2)
+    g_im = jnp.sum(rre * Him32 + rim * Hre32, axis=2)
+    return g_re, g_im
 
 
 def filter_sum_sel_reference(rre2, rim2, Hre, Him, sel):

@@ -369,6 +369,95 @@ def precompute_merged_mxu(
     }
 
 
+def precompute_grouped(
+    cfg: GeometryConfig, angles, valid=None, table_dtype=jnp.float32
+):
+    """Branch-grouped merged tables for :func:`project_nodes_grouped`.
+
+    Builds the merged-branch tables (:func:`precompute_merged`) and permutes
+    each node's angle rows into ``filter_mxu.plan_branch_groups`` slot order
+    (every tt-angle block single-branch, slack rows zeroed) so the
+    filter-sum kernel needs no in-kernel select — half the select kernel's
+    arithmetic/VMEM traffic at identical HBM table bytes. Layout stays
+    [P, Tp, N, F] (no MXU tiling, no frequency padding)."""
+    from dip_admm_tpu.ops.pallas import filter_mxu
+
+    P, T = angles.shape
+    if valid is None:
+        valid = jnp.ones((P, T), bool)
+    merged = jax.jit(
+        jax.vmap(
+            lambda a, v: precompute_merged(cfg, a, v, table_dtype=table_dtype)
+        )
+    )(jnp.asarray(angles, jnp.float32), valid)
+    use_c = np.asarray(merged["sel"])[:, :, 0] > 0.5
+    plan = filter_mxu.plan_branch_groups(use_c, np.asarray(valid))
+    src = jnp.asarray(plan["src_slot"])
+
+    @jax.jit
+    def permute(H):
+        Hp = jnp.take_along_axis(H, jnp.clip(src, 0)[:, :, None, None], axis=1)
+        return Hp * (src >= 0)[:, :, None, None].astype(H.dtype)
+
+    return {
+        "Hre_g": permute(merged["Hre"]),
+        "Him_g": permute(merged["Him"]),
+        "onehot": jnp.asarray(plan["onehot"]),
+        "posfull": jnp.asarray(plan["posfull"]),
+        "invposfull": jnp.asarray(plan["invposfull"]),
+        "p": merged["p"], "s": merged["s"],
+        "Ere": merged["Ere"], "Eim": merged["Eim"],
+        "Cre": merged["Cre"], "Cim": merged["Cim"],
+    }
+
+
+def project_nodes_grouped(cfg: GeometryConfig, imgs, tables):
+    """Batched forward projection [P, N, N] -> [P, T, D] on branch-grouped
+    tables (:func:`precompute_grouped`): DFT matmuls + the select-free
+    grouped filter-sum kernel + slot unpermute + hat evaluation."""
+    if cfg.fan_beam:
+        raise NotImplementedError("fft_grouped supports parallel beam only")
+    from dip_admm_tpu.ops.pallas.filter_mxu import permute_rows
+    from dip_admm_tpu.ops.pallas.filter_sum import filter_sum_grouped
+    from dip_admm_tpu.ops.pallas.hat_eval import hat_eval
+
+    t = tables
+    P, N, _ = imgs.shape
+    Np = t["Cre"].shape[-1]
+    rows2 = jnp.stack([imgs, imgs.transpose(0, 2, 1)], axis=1)  # [P,2,N,N]
+    ein = functools.partial(jnp.einsum, preferred_element_type=jnp.float32)
+    rre2 = ein("ponv,pvf->ponf", rows2, t["Ere"])
+    rim2 = ein("ponv,pvf->ponf", rows2, t["Eim"])
+    # per-angle-block spectrum plane (transposable gather via one-hot)
+    rre_s = ein("ponf,pto->ptnf", rre2, t["onehot"])
+    rim_s = ein("ponf,pto->ptnf", rim2, t["onehot"])
+    g_re, g_im = filter_sum_grouped(
+        rre_s, rim_s, t["Hre_g"], t["Him_g"], t["onehot"]
+    )
+    T, D = t["p"].shape[-2:]
+    g_re = permute_rows(g_re, t["posfull"], t["invposfull"])[:, :T]
+    g_im = permute_rows(g_im, t["posfull"], t["invposfull"])[:, :T]
+    g = ein("ptf,pfv->ptv", g_re, t["Cre"]) + ein(
+        "ptf,pfv->ptv", g_im, t["Cim"]
+    )
+    if P * T * D * Np * 4 > 1.5e9:
+        return hat_eval(g, t["p"], t["s"][..., None]).astype(imgs.dtype)
+    g = g.astype(imgs.dtype)
+    v_idx = jnp.arange(Np, dtype=imgs.dtype)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(t["p"][..., None] - v_idx))
+    out = jnp.einsum("ptdv,ptv->ptd", w, g)
+    return t["s"][..., None] * out
+
+
+def backproject_nodes_grouped(cfg: GeometryConfig, sinos, tables):
+    """Exact adjoint of :func:`project_nodes_grouped`."""
+    P = sinos.shape[0]
+    N = cfg.N
+    f = lambda x: project_nodes_grouped(cfg, x, tables)
+    (out,) = jax.linear_transpose(f, jnp.zeros((P, N, N), sinos.dtype))(sinos)
+    return out
+
+
 def project_nodes_mxu(cfg: GeometryConfig, imgs, tables):
     """Batched forward projection [P, N, N] -> [P, T, D] on MXU-layout
     tables (:func:`precompute_merged_mxu`): DFT matmuls + the MXU filter-sum

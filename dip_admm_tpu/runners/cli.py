@@ -49,7 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--matrix-free", action="store_true",
                    help="force the matrix-free projector (mode=fft)")
     p.add_argument("--mode",
-                   choices=["auto", "dense", "joseph", "fft", "fft_pallas", "fft_mxu"],
+                   choices=["auto", "dense", "joseph", "fft", "fft_pallas", "fft_mxu",
+                            "fft_grouped"],
                    default="auto",
                    help="measurement-operator implementation (auto: dense "
                         "for N<=128, fft above)")
