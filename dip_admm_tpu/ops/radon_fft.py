@@ -369,8 +369,15 @@ def precompute_merged_mxu(
     }
 
 
+# Fold the irfft/hat-eval stage into precomputed WC tables up to this many
+# bytes (pair, storage dtype): 512^2/8 bf16 is 3.2 GB and wanted; 512^2 f32
+# (6.4 GB) falls back to the on-the-fly hat_eval kernel.
+_FOLD_EVAL_MAX_BYTES = 4.0e9
+
+
 def precompute_grouped(
-    cfg: GeometryConfig, angles, valid=None, table_dtype=jnp.float32
+    cfg: GeometryConfig, angles, valid=None, table_dtype=jnp.float32,
+    fold_eval: bool | None = None,
 ):
     """Branch-grouped merged tables for :func:`project_nodes_grouped`.
 
@@ -379,7 +386,19 @@ def precompute_grouped(
     (every tt-angle block single-branch, slack rows zeroed) so the
     filter-sum kernel needs no in-kernel select — half the select kernel's
     arithmetic/VMEM traffic at identical HBM table bytes. Layout stays
-    [P, Tp, N, F] (no MXU tiling, no frequency padding)."""
+    [P, Tp, N, F] (no MXU tiling, no frequency padding).
+
+    ``fold_eval`` (auto by size): additionally precompute the irfft +
+    hat-evaluation + branch-scale composition as one table pair
+
+        WC_re[p, t, d, f] = s[p,t] * sum_v hat(p[p,t,d] - v) * Cre[p, f, v]
+
+    (slot-ordered rows, slack zero) so the apply-time tail after the
+    filter-sum is a single einsum over f. Without folding, the hat weights
+    w [P,T,D,Np] are rebuilt and written+read through HBM on EVERY inner
+    iteration (XLA does not hoist them out of the ADMM while_loop); folded,
+    the same bytes are read-only — and the separate irfft matmul disappears.
+    """
     from dip_admm_tpu.ops.pallas import filter_mxu
 
     P, T = angles.shape
@@ -399,7 +418,7 @@ def precompute_grouped(
         Hp = jnp.take_along_axis(H, jnp.clip(src, 0)[:, :, None, None], axis=1)
         return Hp * (src >= 0)[:, :, None, None].astype(H.dtype)
 
-    return {
+    tables = {
         "Hre_g": permute(merged["Hre"]),
         "Him_g": permute(merged["Him"]),
         "onehot": jnp.asarray(plan["onehot"]),
@@ -409,6 +428,47 @@ def precompute_grouped(
         "Ere": merged["Ere"], "Eim": merged["Eim"],
         "Cre": merged["Cre"], "Cim": merged["Cim"],
     }
+    Tp = int(plan["Tp"])
+    D = merged["p"].shape[-1]
+    F = merged["Cre"].shape[-2]
+    tdt = jnp.dtype(table_dtype)
+    wc_bytes = 2 * P * Tp * D * F * tdt.itemsize
+    if fold_eval is None:
+        fold_eval = wc_bytes <= _FOLD_EVAL_MAX_BYTES
+    if not fold_eval:
+        return tables
+
+    # Slot-ordered coordinates/scales (slack rows -> s = 0 -> zero WC rows).
+    keep2 = (src >= 0).astype(jnp.float32)
+    p_slot = jnp.take_along_axis(
+        merged["p"], jnp.clip(src, 0)[:, :, None], axis=1
+    )
+    s_slot = jnp.take_along_axis(merged["s"], jnp.clip(src, 0), axis=1) * keep2
+    tt = int(plan["tt"])
+    TB = Tp // tt
+    Np = merged["Cre"].shape[-1]
+    v_idx = jnp.arange(Np, dtype=jnp.float32)
+
+    # Chunked over angle blocks: the transient hat tensor w is
+    # [P, tt, D, Np] f32 (~1 GB at 512^2), not [P, Tp, D, Np] (~13 GB).
+    def one(args):
+        pcb, scb = args  # [P, tt, D], [P, tt]
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(pcb[..., None] - v_idx))
+        ein = functools.partial(
+            jnp.einsum, "ptdv,pfv->ptdf", preferred_element_type=jnp.float32
+        )
+        sc = scb[:, :, None, None]
+        return (
+            (sc * ein(w, merged["Cre"])).astype(tdt),
+            (sc * ein(w, merged["Cim"])).astype(tdt),
+        )
+
+    pc = p_slot.reshape(P, TB, tt, D).transpose(1, 0, 2, 3)
+    sc = s_slot.reshape(P, TB, tt).transpose(1, 0, 2)
+    WCre, WCim = jax.jit(lambda a, b: jax.lax.map(one, (a, b)))(pc, sc)
+    tables["WCre"] = WCre.transpose(1, 0, 2, 3, 4).reshape(P, Tp, D, F)
+    tables["WCim"] = WCim.transpose(1, 0, 2, 3, 4).reshape(P, Tp, D, F)
+    return tables
 
 
 def project_nodes_grouped(cfg: GeometryConfig, imgs, tables):
@@ -435,6 +495,18 @@ def project_nodes_grouped(cfg: GeometryConfig, imgs, tables):
         rre_s, rim_s, t["Hre_g"], t["Him_g"], t["onehot"]
     )
     T, D = t["p"].shape[-2:]
+    if "WCre" in t:
+        # Folded irfft+hat+scale tail: one einsum over f per plane, rows in
+        # slot order (WC rows are slot-permuted at build), then the output
+        # permute. Cast g to the table dtype — the mixed bf16xf32 einsum
+        # lowering materializes an upcast table copy (the regression the
+        # filter-sum kernel exists to avoid).
+        wdt = t["WCre"].dtype
+        out = ein("ptdf,ptf->ptd", t["WCre"], g_re.astype(wdt)) + ein(
+            "ptdf,ptf->ptd", t["WCim"], g_im.astype(wdt)
+        )
+        out = permute_rows(out, t["posfull"], t["invposfull"])[:, :T]
+        return out.astype(imgs.dtype)
     g_re = permute_rows(g_re, t["posfull"], t["invposfull"])[:, :T]
     g_im = permute_rows(g_im, t["posfull"], t["invposfull"])[:, :T]
     g = ein("ptf,pfv->ptv", g_re, t["Cre"]) + ein(
