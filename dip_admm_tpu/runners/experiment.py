@@ -138,6 +138,100 @@ def run_all_strategies(
     return results
 
 
+def run_pdhg_consensus(
+    cfg: ProblemConfig,
+    out_root: Optional[str] = None,
+    n_outer: int = 100,
+    lam: float = 0.005,
+    gamma: float = 2.0,
+    anchor_weights: str = "oracle",
+    mode: Optional[str] = None,
+    write_artifacts: bool = True,
+) -> dict:
+    """Legacy penalized-consensus PDHG solver as a CLI-reachable experiment
+    (the reference runs it as a script entry, ``ADMM_Tomo_Only.py:89-168``).
+    Returns a summary with per-node and aggregate PSNR/MSE trajectories."""
+    from dip_admm_tpu.solvers import pdhg_consensus
+
+    problem = loader.build_problem(cfg, mode=mode)
+    pcfg = pdhg_consensus.PdhgConsensusConfig(
+        n_outer=n_outer, lam_tv=lam, lam_agg=lam, gamma=gamma,
+        anchor_weights=anchor_weights,
+    )
+    res = pdhg_consensus.solve(problem, pcfg)
+    x = np.asarray(res.x_nodes)
+    x_agg = np.asarray(res.x_agg)
+    x_true = np.asarray(problem.x_true)
+    dr = float(x_true.max())
+    summary = {
+        "solver": "pdhg-consensus",
+        "n_outer": n_outer,
+        "mean_node_psnr": float(
+            np.mean([psnr(xi, x_true, data_range=dr) for xi in x])
+        ),
+        "agg_psnr": float(psnr(x_agg, x_true, data_range=dr)),
+        "final_img_mse_nodes": np.asarray(res.img_mse_nodes)[-1].tolist(),
+        "final_img_mse_agg": float(np.asarray(res.img_mse_agg)[-1]),
+    }
+    if write_artifacts and out_root is not None:
+        out_dir = os.path.join(out_root, "pdhg_consensus")
+        artifacts.save_recons(x, problem.N, out_dir, "pdhg_nodes")
+        artifacts.save_recons(
+            x_agg[None, :], problem.N, out_dir, "pdhg_aggregate"
+        )
+        artifacts.save_mse_curves(
+            {
+                "img_mse_nodes": np.asarray(res.img_mse_nodes),
+                "sino_mse_nodes": np.asarray(res.sino_mse_nodes),
+                "img_mse_agg": np.asarray(res.img_mse_agg),
+                "sino_mse_agg": np.asarray(res.sino_mse_agg),
+            },
+            out_dir,
+        )
+        artifacts.flush_async()
+        summary["out_dir"] = out_dir
+    return summary
+
+
+def run_centralized(
+    cfg: ProblemConfig,
+    out_root: Optional[str] = None,
+    tv: bool = False,
+    ridge_lam: float = 1e-3,
+    mode: Optional[str] = None,
+    write_artifacts: bool = True,
+) -> dict:
+    """Centralized aggregate baseline: ridge LS (ref
+    ``block_2_test.py:83-88``) or TV-LS (the quality ceiling)."""
+    from dip_admm_tpu.solvers import centralized
+
+    problem = loader.build_problem(cfg, mode=mode)
+    if tv:
+        x, g_norm = centralized.tv_reconstruction(
+            problem, lam_tv=cfg.admm.lam_tv
+        )
+        extra = {"final_stationarity": float(g_norm)}
+        tag = "centralized_tv"
+    else:
+        x = centralized.ridge_reconstruction(problem, lam=ridge_lam)
+        extra = {"ridge_lam": ridge_lam}
+        tag = "centralized_ridge"
+    x = np.asarray(x)
+    x_true = np.asarray(problem.x_true)
+    summary = {
+        "solver": tag,
+        "psnr": float(psnr(x, x_true, data_range=float(x_true.max()))),
+        "img_mse": float(np.mean((x - x_true) ** 2)),
+        **extra,
+    }
+    if write_artifacts and out_root is not None:
+        out_dir = os.path.join(out_root, tag)
+        artifacts.save_recons(x[None, :], problem.N, out_dir, tag)
+        artifacts.flush_async()
+        summary["out_dir"] = out_dir
+    return summary
+
+
 def evaluate_strategies(cfg: ProblemConfig, mesh=None) -> dict:
     """Strategy comparison on final residuals and mean PSNR — the acceptance
     driver sketched by ``/root/reference/test_final_integration.py:35-50``."""

@@ -101,6 +101,21 @@ def _semilogy_total(arr, title, ylabel, path, floor=1e-12):
     plt.close()
 
 
+def save_mse_curves(curves: dict, out_dir: str) -> None:
+    """Named MSE/residual trajectories as .npy + semilogy plots (the legacy
+    solver's plotting set, ref ``ADMM_Tomo_Only.py:171-296``). 2-D arrays
+    [T, P] are drawn per-node, 1-D arrays as single curves."""
+    os.makedirs(out_dir, exist_ok=True)
+    for name, arr in curves.items():
+        arr = np.asarray(arr)
+        np.save(os.path.join(out_dir, f"{name}.npy"), arr)
+        path = os.path.join(out_dir, f"{name}.png")
+        if arr.ndim == 2:
+            _semilogy_per_node(arr, name, name, path)
+        else:
+            _semilogy_total(arr, name, name, path)
+
+
 def save_history_artifacts(
     history: dict,
     n_iters: int,

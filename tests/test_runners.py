@@ -72,3 +72,61 @@ def test_cli_main(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert "knn" in out
     assert out["knn"]["n_iters"] == 3
+
+
+def test_cli_node_solver_flags(tmp_path, capsys):
+    """--algorithm/--eps0/--check-every/--plateau-tol reach the node config."""
+    args = cli.build_parser().parse_args([
+        "--algorithm", "pcv", "--eps0", "1.5", "--check-every", "5",
+        "--plateau-tol", "0.0",
+    ])
+    cfg = cli.config_from_args(args)
+    assert cfg.admm.node.algorithm == "pcv"
+    assert cfg.admm.node.eps0 == 1.5
+    assert cfg.admm.node.check_every == 5
+    assert cfg.admm.node.plateau_tol == 0.0
+
+
+def test_cli_recommended_preset():
+    args = cli.build_parser().parse_args(["--recommended"])
+    cfg = cli.config_from_args(args)
+    assert cfg.admm.relax_alpha == 1.8
+    assert cfg.admm.node.algorithm == "pcv"
+    # Explicit flags win over the preset.
+    args = cli.build_parser().parse_args(
+        ["--recommended", "--relax-alpha", "1.5", "--algorithm", "ppdhg"]
+    )
+    cfg = cli.config_from_args(args)
+    assert cfg.admm.relax_alpha == 1.5
+    assert cfg.admm.node.algorithm == "ppdhg"
+
+
+def test_cli_pdhg_consensus_solver(tmp_path, capsys):
+    cli.main([
+        "--N", "12", "--nodes", "3", "--angles", "12",
+        "--solver", "pdhg-consensus", "--pdhg-outer", "3",
+        "--out", str(tmp_path),
+    ])
+    out = json.loads(capsys.readouterr().out)
+    s = out["pdhg-consensus"]
+    assert s["solver"] == "pdhg-consensus"
+    assert np.isfinite(s["mean_node_psnr"]) and np.isfinite(s["agg_psnr"])
+    files = {p.name for p in (tmp_path / "pdhg_consensus").rglob("*")}
+    assert "pdhg_nodes_node_0.png" in files
+    assert "img_mse_agg.npy" in files
+
+
+def test_cli_centralized_solvers(tmp_path, capsys):
+    cli.main([
+        "--N", "12", "--nodes", "3", "--angles", "12",
+        "--solver", "centralized", "--out", str(tmp_path),
+    ])
+    out = json.loads(capsys.readouterr().out)
+    assert out["centralized"]["psnr"] > 10.0
+    cli.main([
+        "--N", "12", "--nodes", "3", "--angles", "12",
+        "--solver", "centralized-tv", "--max-inner", "50",
+        "--out", str(tmp_path),
+    ])
+    out = json.loads(capsys.readouterr().out)
+    assert out["centralized-tv"]["psnr"] > 10.0
