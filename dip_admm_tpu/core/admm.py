@@ -320,21 +320,30 @@ def run_admm_snapshots(
     snapshot_dir: str | None = None,
     snapshot_every: int | None = None,
     snapshot_div: int = 10,
+    mesh=None,
 ) -> AdmmResult:
     """Run with periodic host-side snapshots of every node's reconstruction
     (ref ``block_6_admm_loop_ver2.py:28-32``, ``:269-281``): the jitted loop
     executes in ``snapshot_every``-iteration segments and the images are
-    written between segments (.npy + .png)."""
+    written between segments (.npy + .png). With ``mesh`` the segments run
+    through the sharded driver (same ``state/hist/until`` contract, one
+    compilation across segments)."""
     from dip_admm_tpu.utils import artifacts  # lazy: pulls matplotlib
 
     cfg = cfg if cfg is not None else problem.cfg.admm
     if snapshot_every is None:
         snapshot_every = max(1, cfg.max_iters // snapshot_div)
+    if mesh is not None:
+        from dip_admm_tpu.parallel import admm_sharded
+
+        runner = functools.partial(admm_sharded.run_admm_sharded, mesh=mesh)
+    else:
+        runner = run_admm
     state, hist = init_state(problem, cfg)
     res = None
     while True:
         upto = min(int(state.k) + snapshot_every, cfg.max_iters)
-        res = run_admm(problem, cfg, state, hist, until=upto)
+        res = runner(problem, cfg, state=state, hist=hist, until=upto)
         state, hist = res.state, res.history
         if snapshot_dir is not None:
             artifacts.save_recons(

@@ -17,11 +17,17 @@ the *inner* node solves are purely local and may run different trip counts
 per shard (the per-node inexactness of the reference).
 
 The iteration body is shared with the single-device path
-(``core.admm.admm_iteration``) — only the ``CommOps`` differ.
+(``core.admm.admm_iteration``) — only the ``CommOps`` differ. The
+``state=/hist=/until=`` segmentation contract also matches ``run_admm``
+(checkpoint/resume and periodic snapshots, the sharded analogue of the
+reference's chunked warm-started solves, ``block_6_admm_loop.py:14-69`` and
+snapshot loop ``block_6_admm_loop_ver2.py:269-281``); segments share one
+compilation because ``until`` is traced.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -54,36 +60,23 @@ def _psum(axis_name: str):
     return lambda v: jax.lax.psum(v, axis_name)
 
 
-def run_admm_sharded(
-    problem: Problem,
-    cfg: Optional[AdmmConfig] = None,
-    mesh: Optional[Mesh] = None,
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _run_sharded_jit(
+    pcfg, cfg: AdmmConfig, mesh: Mesh, mode: str,
+    angles, valid, A_arg, tables_arg, b, Q, adjm, W, L, x_true,
+    state: AdmmState, hist: dict, until,
 ) -> AdmmResult:
-    """Consensus ADMM with graph nodes sharded over ``mesh``'s node axis.
-
-    Produces the same result/history contract as ``core.admm.run_admm``
-    (verified by the cross-device parity test on a virtual CPU mesh).
-    """
-    cfg = cfg if cfg is not None else problem.cfg.admm
-    mesh = mesh if mesh is not None else make_mesh()
-    P = problem.num_nodes
+    P = pcfg.geometry.num_nodes
     P_loc = shards_for(P, mesh)
-    pcfg = problem.cfg
-    mode = problem.mode
-    dtype = problem.b.dtype
-    N, n = problem.N, problem.n
-    D = pcfg.geometry.n_det
-    T = cfg.max_iters
-
-    L = problem.opnorm + cfg.rho * jnp.max(
-        jnp.sum(problem.Q, axis=1), axis=-1
-    )
+    dtype = b.dtype
+    N = pcfg.geometry.N
 
     node = PS(NODE_AXIS)
     repl = PS()
 
     def shard_body(
-        angles, valid, A, tables, b, Q, adjm, W_blk, W_all, L_blk, x_true
+        angles, valid, A, tables, b, Q, adjm, W_blk, W_all, L_blk, x_true,
+        state, hist, until,
     ):
         from dip_admm_tpu.data.loader import make_node_ops
 
@@ -104,57 +97,84 @@ def run_admm_sharded(
                 v.astype(jnp.int32), NODE_AXIS
             ).astype(bool),
         )
-        state = AdmmState(
-            node=node_solver.init_state(P_loc, N, b.shape[1], dtype),
-            Z=jnp.zeros((P_loc, P, n), dtype),
-            Y=jnp.zeros((P_loc, P, n), dtype),
-            k=jnp.int32(0),
-            stop=jnp.asarray(False),
-        )
-        hist = core_admm.make_history(T, P_loc, dtype)
 
         def cond(carry):
             st, _ = carry
-            return (st.k < T) & ~st.stop
+            return (st.k < until) & ~st.stop
 
         def body(carry):
             st, h = carry
             return core_admm.admm_iteration(data, cfg, comm, st, h)
 
-        state, hist = jax.lax.while_loop(cond, body, (state, hist))
+        state_f, hist_f = jax.lax.while_loop(cond, body, (state, hist))
         return AdmmResult(
-            x=state.node.x, history=hist, n_iters=state.k, state=state
+            x=state_f.node.x, history=hist_f, n_iters=state_f.k, state=state_f
         )
 
     hist_specs = {
         name: PS(None, NODE_AXIS) if per_node else repl
         for name, per_node in core_admm.HISTORY_FIELDS
     }
-    out_specs = AdmmResult(
-        x=node,
-        history=hist_specs,
-        n_iters=repl,
-        state=AdmmState(
-            node=node_solver.NodeState(x=node, ux=node, uy=node, ua=node),
-            Z=node, Y=node, k=repl, stop=repl,
-        ),
+    state_specs = AdmmState(
+        node=node_solver.NodeState(x=node, ux=node, uy=node, ua=node),
+        Z=node, Y=node, k=repl, stop=repl,
     )
+    out_specs = AdmmResult(
+        x=node, history=hist_specs, n_iters=repl, state=state_specs
+    )
+    tables_spec = jax.tree.map(lambda _: node, tables_arg)
+    in_specs = (
+        node, node, node, tables_spec, node, node, node, node, repl, node,
+        repl, state_specs, hist_specs, repl,
+    )
+    f = jax.shard_map(
+        shard_body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    return f(
+        angles, valid, A_arg, tables_arg, b, Q, adjm, W, W, L, x_true,
+        state, hist, until,
+    )
+
+
+def run_admm_sharded(
+    problem: Problem,
+    cfg: Optional[AdmmConfig] = None,
+    mesh: Optional[Mesh] = None,
+    state: Optional[AdmmState] = None,
+    hist: Optional[dict] = None,
+    until: Optional[int] = None,
+) -> AdmmResult:
+    """Consensus ADMM with graph nodes sharded over ``mesh``'s node axis.
+
+    Produces the same result/history/resume contract as
+    ``core.admm.run_admm`` (verified by the cross-device parity and
+    exact-resume tests on a virtual CPU mesh): pass the ``state``/``hist``
+    of a previous partial run to continue from iteration ``state.k``;
+    ``until`` caps this call's final outer iteration.
+    """
+    cfg = cfg if cfg is not None else problem.cfg.admm
+    mesh = mesh if mesh is not None else make_mesh()
+    if state is None:
+        state, hist = core_admm.init_state(problem, cfg)
+    assert hist is not None
+    until = cfg.max_iters if until is None else min(until, cfg.max_iters)
+
+    dtype = problem.b.dtype
+    mode = problem.mode
+    L = problem.opnorm + cfg.rho * jnp.max(
+        jnp.sum(problem.Q, axis=1), axis=-1
+    )
+    P = problem.num_nodes
     A_arg = problem.A if mode == "dense" else jnp.zeros((P, 1), dtype)
     tables_arg = (
         problem.fft_tables
         if (mode.startswith("fft") and problem.fft_tables is not None)
         else jnp.zeros((P, 1), dtype)
     )
-    tables_spec = jax.tree.map(lambda _: node, tables_arg)
-    in_specs = (
-        node, node, node, tables_spec, node, node, node, node, repl, node,
-        repl,
-    )
-    f = jax.shard_map(
-        shard_body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-        check_vma=False,
-    )
-    return jax.jit(f)(
+    return _run_sharded_jit(
+        problem.cfg, cfg, mesh, mode,
         problem.angles, problem.angle_valid, A_arg, tables_arg, problem.b,
-        problem.Q, problem.adj, problem.W, problem.W, L, problem.x_true,
+        problem.Q, problem.adj, problem.W, L, problem.x_true,
+        state, hist, until,
     )

@@ -67,16 +67,17 @@ def run_one_strategy(
     elif problem.cfg.graph != cfg.graph:
         problem = loader.rebuild_graph(problem, cfg.graph)
 
-    if mesh is not None:
-        from dip_admm_tpu.parallel import admm_sharded
-
-        res = admm_sharded.run_admm_sharded(problem, cfg.admm, mesh=mesh)
-    elif snapshot_every is not None:
+    if snapshot_every is not None:
         res = admm.run_admm_snapshots(
             problem, cfg.admm,
             snapshot_dir=os.path.join(out_dir, "snapshots"),
             snapshot_every=snapshot_every,
+            mesh=mesh,
         )
+    elif mesh is not None:
+        from dip_admm_tpu.parallel import admm_sharded
+
+        res = admm_sharded.run_admm_sharded(problem, cfg.admm, mesh=mesh)
     else:
         res = admm.run_admm(problem, cfg.admm)
 

@@ -96,6 +96,42 @@ def test_sharded_matrix_free():
     )
 
 
+def test_sharded_exact_resume():
+    """state/hist/until segmentation on the mesh: a run split at iteration 3
+    must bit-equal the uninterrupted run (ref chunked-resume capability,
+    block_6_admm_loop.py:14-69, on the sharded path)."""
+    problem = make_problem(P=4)
+    m = meshlib.make_mesh(4)
+    full = admm_sharded.run_admm_sharded(problem, mesh=m)
+
+    part = admm_sharded.run_admm_sharded(problem, mesh=m, until=3)
+    assert int(part.n_iters) == 3
+    resumed = admm_sharded.run_admm_sharded(
+        problem, mesh=m, state=part.state, hist=part.history
+    )
+    assert int(resumed.n_iters) == int(full.n_iters)
+    np.testing.assert_array_equal(np.asarray(resumed.x), np.asarray(full.x))
+    for name, v in full.history.items():
+        np.testing.assert_array_equal(
+            np.asarray(resumed.history[name]), np.asarray(v), err_msg=name
+        )
+
+
+def test_sharded_snapshots(tmp_path):
+    """snapshot_every on the mesh path writes per-segment snapshots and
+    returns the same final result as the straight sharded run."""
+    problem = make_problem(P=4)
+    m = meshlib.make_mesh(4)
+    full = admm_sharded.run_admm_sharded(problem, mesh=m)
+    res = admm.run_admm_snapshots(
+        problem, snapshot_dir=str(tmp_path), snapshot_every=2, mesh=m
+    )
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(full.x))
+    names = {p.name for p in tmp_path.iterdir()}
+    assert "iter_0002_node_0.npy" in names
+    assert "iter_0004_node_0.npy" in names
+
+
 def test_sharded_matches_single_device_fft_pallas():
     # The Pallas projector mode must compose with the shard_map runtime
     # (interpret-mode kernels inside shard_map on the virtual mesh).
