@@ -372,14 +372,13 @@ def run_admm_batched(
     Returns an AdmmResult with a leading batch axis on every array.
     """
     cfg = cfg if cfg is not None else problem.cfg.admm
-    if problem.mode in ("fft_pallas", "fft_mxu", "fft_grouped"):
-        # jax.custom_transpose (the Pallas projector's adjoint registration)
-        # has no vmap rule; scenario batching uses the fft/dense paths.
-        raise ValueError(
-            f"run_admm_batched does not support mode={problem.mode!r} "
-            "(custom_transpose is not vmappable); build the problem with "
-            "mode='fft' or 'dense' for scenario batching"
-        )
+    if cfg.use_pallas:
+        # The fused consensus kernel has no batching rule; the projector
+        # kernels do (custom_vmap folds the batch into the node axis), and
+        # the consensus math runs fine as the XLA chain under vmap.
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, use_pallas=False)
     if x_true_batch is None:
         x_true_batch = jnp.broadcast_to(
             problem.x_true[None], (b_batch.shape[0],) + problem.x_true.shape

@@ -30,9 +30,10 @@ plain gather done with a tiny einsum against a [P, TB, 2] one-hot (XLA
 transposes it for free), and the kernel itself has no select logic at all.
 
 The row permutation back to original angle order is a pair of
-``take_along_axis`` gathers registered as each other's transpose via
-``jax.custom_transpose`` (a bijection's transpose is its inverse
-permutation — no scatter on the hot path).
+``take_along_axis`` gathers that are each other's transpose (a bijection's
+transpose is its inverse permutation — no scatter on the hot path); the
+projector adjoint chain in ``ops.radon_fft`` applies the inverse gather
+explicitly.
 
 The adjoint contraction (over angles t, K = tt per block) would waste the
 MXU (K < 128), so the transpose kernel stays on the VPU — but in the cheap
@@ -220,11 +221,11 @@ def _adj_kernel(gre_ref, gim_ref, hre_ref, him_ref, rre_ref, rim_ref):
 def _fwd_pallas(rre, rim, Hre, Him, interpret=False):
     P, FB, NB, Tp, tnl = Hre.shape
     tn = tnl // 128
-    TB = rre.shape[1]
+    PB, TB = rre.shape[:2]  # PB = B * P under scenario batching
     tt = Tp // TB
-    grid = (P, TB, FB, NB)  # nb innermost: accumulation axis
+    grid = (PB, TB, FB, NB)  # nb innermost: accumulation axis
     h_spec = pl.BlockSpec(
-        (1, 1, 1, tt, tnl), lambda p, tb, fb, nb: (p, fb, nb, tb, 0),
+        (1, 1, 1, tt, tnl), lambda p, tb, fb, nb: (p % P, fb, nb, tb, 0),
         memory_space=pltpu.VMEM,
     )
     r_spec = pl.BlockSpec(
@@ -242,12 +243,12 @@ def _fwd_pallas(rre, rim, Hre, Him, interpret=False):
         in_specs=[h_spec, h_spec, r_spec, r_spec],
         out_specs=(g_spec, g_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((P, Tp, FB * 128), jnp.float32),
-            jax.ShapeDtypeStruct((P, Tp, FB * 128), jnp.float32),
+            jax.ShapeDtypeStruct((PB, Tp, FB * 128), jnp.float32),
+            jax.ShapeDtypeStruct((PB, Tp, FB * 128), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=8 * P * Tp * NB * tn * FB * 128 * 128,
-            bytes_accessed=bytes_h + rre.size * 8,
+            flops=8 * PB * Tp * NB * tn * FB * 128 * 128,
+            bytes_accessed=bytes_h * (PB // P) + rre.size * 8,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -259,13 +260,14 @@ def _adj_pallas(gre_b, gim_b, Hre, Him, TB, interpret=False):
     P, FB, NB, Tp, tnl = Hre.shape
     tn = tnl // 128
     tt = Tp // TB
-    grid = (P, TB, FB, NB)
+    PB = gre_b.shape[0]
+    grid = (PB, TB, FB, NB)
     g_spec = pl.BlockSpec(
         (1, tt, 128), lambda p, tb, fb, nb: (p, tb, fb),
         memory_space=pltpu.VMEM,
     )
     h_spec = pl.BlockSpec(
-        (1, 1, 1, tt, tnl), lambda p, tb, fb, nb: (p, fb, nb, tb, 0),
+        (1, 1, 1, tt, tnl), lambda p, tb, fb, nb: (p % P, fb, nb, tb, 0),
         memory_space=pltpu.VMEM,
     )
     r_spec = pl.BlockSpec(
@@ -279,12 +281,12 @@ def _adj_pallas(gre_b, gim_b, Hre, Him, TB, interpret=False):
         in_specs=[g_spec, g_spec, h_spec, h_spec],
         out_specs=(r_spec, r_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((P, TB, NB * tn, FB * 128), jnp.float32),
-            jax.ShapeDtypeStruct((P, TB, NB * tn, FB * 128), jnp.float32),
+            jax.ShapeDtypeStruct((PB, TB, NB * tn, FB * 128), jnp.float32),
+            jax.ShapeDtypeStruct((PB, TB, NB * tn, FB * 128), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=6 * P * Tp * NB * tn * FB * 128,
-            bytes_accessed=bytes_h + gre_b.size * 8,
+            flops=6 * PB * Tp * NB * tn * FB * 128,
+            bytes_accessed=bytes_h * (PB // P) + gre_b.size * 8,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -297,59 +299,78 @@ def _interp() -> bool:
 
 
 # ---------------------------------------------------------------------------
-# custom_transpose wrappers
+# Public entry points (explicit adjoint + custom_vmap batching)
 # ---------------------------------------------------------------------------
 
 
-@jax.custom_transpose.custom_transpose
-def _mxu_ct(res, lin):
-    Hre, Him, blk = res
-    rre, rim = lin
-    return _fwd_pallas(rre, rim, Hre, Him, interpret=_interp())
+from jax import custom_batching  # noqa: E402
 
 
-@_mxu_ct.def_transpose
-def _mxu_transpose(res, out_bar):
-    Hre, Him, blk = res
-    gre_b, gim_b = out_bar
-    return _adj_pallas(
-        gre_b, gim_b, Hre, Him, TB=blk.shape[1], interpret=_interp()
-    )
+def _fold2(a, B):
+    return a.reshape((B * a.shape[1],) + a.shape[2:])
 
 
-def filter_sum_mxu(rre, rim, Hre_t, Him_t, blkmark):
+@custom_batching.custom_vmap
+def filter_sum_mxu(rre, rim, Hre_t, Him_t):
     """g[p,t,f] = sum_n r_sel[p, blk(t), n, f] * H[p,t,n,f] on the MXU.
 
     rre/rim: per-angle-block selected spectra [P, TB, N, Fpad] (f32);
     Hre_t/Him_t: pre-tiled tables [P, FB, NB, Tp, tn*128] from
-    :func:`tile_table` (rows in branch-grouped slot order); blkmark: any
-    residual array whose second dim is TB (the ``onehot`` table) — it rides
-    along so the transpose rule can recover the block split. Output
-    [P, Tp, Fpad] f32 pair, rows in slot order. Linear in (rre, rim) with a
-    registered transpose.
-    """
-    P, FB, NB, Tp, tnl = Hre_t.shape
-    aval = jax.core.ShapedArray((P, Tp, FB * 128), jnp.float32)
-    return _mxu_ct((aval, aval), (Hre_t, Him_t, blkmark), (rre, rim))
+    :func:`tile_table` (rows in branch-grouped slot order). Output
+    [P, Tp, Fpad] f32 pair, rows in slot order. Adjoint:
+    :func:`filter_sum_mxu_t`."""
+    return _fwd_pallas(rre, rim, Hre_t, Him_t, interpret=_interp())
 
 
-@jax.custom_transpose.custom_transpose
-def _perm_ct(res, g):
-    posfull, invposfull = res
-    return jnp.take_along_axis(g, posfull[:, :, None], axis=1)
+@filter_sum_mxu.def_vmap
+def _filter_sum_mxu_vmap(axis_size, in_batched, rre, rim, Hre_t, Him_t):
+    if not (in_batched[0] and in_batched[1]) or any(in_batched[2:]):
+        raise NotImplementedError(
+            "filter_sum_mxu: vmap expects spectra batched, tables unbatched"
+        )
+    out = _fwd_pallas(
+        _fold2(rre, axis_size), _fold2(rim, axis_size), Hre_t, Him_t,
+        interpret=_interp(),
+    )
+    return tuple(
+        o.reshape((axis_size, -1) + o.shape[1:]) for o in out
+    ), (True, True)
 
 
-@_perm_ct.def_transpose
-def _perm_transpose(res, ybar):
-    posfull, invposfull = res
-    return jnp.take_along_axis(ybar, invposfull[:, :, None], axis=1)
+@custom_batching.custom_vmap
+def filter_sum_mxu_t(gre_b, gim_b, Hre_t, Him_t, blkmark):
+    """Exact transpose of :func:`filter_sum_mxu` w.r.t. (rre, rim).
+    ``blkmark``: any array whose second dim is TB (the ``onehot`` table).
+    Output [P, TB, N, Fpad] pair."""
+    return _adj_pallas(
+        gre_b, gim_b, Hre_t, Him_t, TB=blkmark.shape[1], interpret=_interp()
+    )
 
 
-def permute_rows(g, posfull, invposfull):
-    """y[p, i] = g[p, posfull[p, i]] — bijective row gather whose transpose
-    is the inverse gather (no scatter)."""
-    aval = jax.core.ShapedArray(g.shape, g.dtype)
-    return _perm_ct(aval, (posfull, invposfull), g)
+@filter_sum_mxu_t.def_vmap
+def _filter_sum_mxu_t_vmap(
+    axis_size, in_batched, gre_b, gim_b, Hre_t, Him_t, blkmark
+):
+    if not (in_batched[0] and in_batched[1]) or any(in_batched[2:]):
+        raise NotImplementedError(
+            "filter_sum_mxu_t: vmap expects cotangents batched, tables "
+            "unbatched"
+        )
+    out = _adj_pallas(
+        _fold2(gre_b, axis_size), _fold2(gim_b, axis_size), Hre_t, Him_t,
+        TB=blkmark.shape[1], interpret=_interp(),
+    )
+    return tuple(
+        o.reshape((axis_size, -1) + o.shape[1:]) for o in out
+    ), (True, True)
+
+
+def permute_rows(g, perm):
+    """y[p, i] = g[p, perm[p, i]] — bijective row gather. Its transpose is
+    the same gather with the inverse permutation (``invposfull`` for
+    ``posfull`` and vice versa); the projector adjoint chains apply it
+    explicitly. Natively vmappable."""
+    return jnp.take_along_axis(g, perm[:, :, None], axis=1)
 
 
 # ---------------------------------------------------------------------------

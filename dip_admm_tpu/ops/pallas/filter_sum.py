@@ -1,31 +1,39 @@
-"""Pallas TPU kernel for the FFT-projector filter-sum contraction.
+"""Pallas TPU kernels for the FFT-projector filter-sum contraction.
 
-The hot stage of the gather-free projector (``ops.radon_fft._branch_apply``)
-is the complex contraction over image rows n
+The hot stage of the gather-free projector (``ops.radon_fft``) is the
+complex contraction over image rows n
 
     g[p, t, f] = sum_n r[p, n, f] * H[p, t, n, f]
 
 (r = rfft of the padded image rows, H = precomputed shift-phase table). At
-256^2 / 8 nodes the H read (~0.8 GB per branch pair) bounds the whole inner
+256^2 / 8 nodes the H read (~0.4 GB merged bf16) bounds the whole inner
 loop; XLA's einsum pair is near bandwidth-bound in f32 but *regresses* when
 H is stored bfloat16 (the mixed-precision lowering materializes an upcast
-copy). This kernel reads H blocks in their storage dtype straight from HBM,
-upcasts in VMEM, and accumulates in f32 — so bf16 tables genuinely halve
-the dominant traffic.
+copy). These kernels read H blocks in their storage dtype straight from
+HBM, upcast in VMEM, and accumulate in f32 — so low-precision tables
+genuinely cut the dominant traffic.
 
 The complex product is carried in real/imaginary planes throughout:
 
     g_re = sum_n rre*Hre - rim*Him        g_im = sum_n rre*Him + rim*Hre
 
-and the hand-written transpose (contraction over t with conj(H))
+Two variants:
+  - ``filter_sum_sel``: merged-branch tables with an in-kernel per-angle
+    branch select (plane 0 = image rows, plane 1 = transposed image).
+  - ``filter_sum_grouped``: angle rows pre-permuted into branch-grouped
+    slot order (``filter_mxu.plan_branch_groups``) so every tt-angle block
+    contracts one spectrum plane — no select, half the arithmetic.
 
-    rre_bar = sum_t gre_bar*Hre + gim_bar*Him
-    rim_bar = sum_t gim_bar*Hre - gre_bar*Him
-
-is registered via ``jax.custom_transpose`` so ``jax.linear_transpose`` of the
-full projector (the adjoint path, ``radon_fft.backproject``) traverses the
-kernel. Equivalence with the jnp einsum path and exact adjointness are
-covered by tests (interpreter mode on CPU).
+Adjoints are NOT derived via autodiff: each forward has an explicit
+transpose entry point (``*_t``) driving the transposed kernel, and
+``ops.radon_fft`` composes the full projector adjoint by hand (verified
+against ``jax.linear_transpose`` of the jnp reference in tests). This keeps
+the hot path free of ``custom_transpose`` machinery, which has no batching
+rule — every entry point here is wrapped in ``jax.custom_batching
+.custom_vmap`` whose rule folds the scenario-batch axis into the node axis
+of the kernel grid (tables stay unbatched; the H block index maps take
+``p % P``), so ``vmap``-ed whole runs (scenario batching, BASELINE config
+4) traverse the kernels without duplicating the tables.
 """
 
 from __future__ import annotations
@@ -34,6 +42,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import custom_batching
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -67,117 +76,13 @@ def _tiles(T: int, N: int, F: int) -> tuple[int, int]:
     return tt, tn
 
 
-def _fwd_kernel(rre_ref, rim_ref, hre_ref, him_ref, gre_ref, gim_ref):
-    nb = pl.program_id(1)
-    rre = rre_ref[0]  # [tn, F] f32
-    rim = rim_ref[0]
-    hre = hre_ref[0].astype(jnp.float32)  # [tt, tn, F]
-    him = him_ref[0].astype(jnp.float32)
-    gre = jnp.sum(rre[None] * hre - rim[None] * him, axis=1)  # [tt, F]
-    gim = jnp.sum(rre[None] * him + rim[None] * hre, axis=1)
-
-    @pl.when(nb == 0)
-    def _():
-        gre_ref[0] = jnp.zeros_like(gre_ref[0])
-        gim_ref[0] = jnp.zeros_like(gim_ref[0])
-
-    gre_ref[0] += gre
-    gim_ref[0] += gim
+def _interp() -> bool:
+    return jax.default_backend() != "tpu"
 
 
-def _t_kernel(gre_ref, gim_ref, hre_ref, him_ref, rre_ref, rim_ref):
-    tb = pl.program_id(1)
-    gre = gre_ref[0]  # [tt, F] f32
-    gim = gim_ref[0]
-    hre = hre_ref[0].astype(jnp.float32)  # [tt, tn, F]
-    him = him_ref[0].astype(jnp.float32)
-    rre = jnp.sum(gre[:, None] * hre + gim[:, None] * him, axis=0)  # [tn, F]
-    rim = jnp.sum(gim[:, None] * hre - gre[:, None] * him, axis=0)
-
-    @pl.when(tb == 0)
-    def _():
-        rre_ref[0] = jnp.zeros_like(rre_ref[0])
-        rim_ref[0] = jnp.zeros_like(rim_ref[0])
-
-    rre_ref[0] += rre
-    rim_ref[0] += rim
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _fwd_pallas(rre, rim, Hre, Him, interpret=False):
-    P, T, N, F = Hre.shape
-    tt, tn = _tiles(T, N, F)  # sublane-multiple for bf16 blocks
-    # Flatten (p, t-block) into the first grid axis so every output block is
-    # revisited only across the trailing n axis (accumulate pattern).
-    grid = (P * (T // tt), N // tn)  # n innermost: accumulation axis
-    r_spec = pl.BlockSpec(
-        (1, tn, F), lambda q, nb: (q // (T // tt), nb, 0),
-        memory_space=pltpu.VMEM,
-    )
-    h_spec = pl.BlockSpec(
-        (1, tt, tn, F),
-        lambda q, nb: (q // (T // tt), q % (T // tt), nb, 0),
-        memory_space=pltpu.VMEM,
-    )
-    g_spec = pl.BlockSpec(
-        (1, tt, F), lambda q, nb: (q // (T // tt), q % (T // tt), 0),
-        memory_space=pltpu.VMEM,
-    )
-    bytes_h = Hre.size * Hre.dtype.itemsize * 2
-    out = pl.pallas_call(
-        _fwd_kernel,
-        grid=grid,
-        in_specs=[r_spec, r_spec, h_spec, h_spec],
-        out_specs=(g_spec, g_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((P, T, F), jnp.float32),
-            jax.ShapeDtypeStruct((P, T, F), jnp.float32),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=8 * P * T * N * F,
-            bytes_accessed=bytes_h + rre.size * 8,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(rre, rim, Hre, Him)
-    return out
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _t_pallas(gre_b, gim_b, Hre, Him, interpret=False):
-    P, T, N, F = Hre.shape
-    tt, tn = _tiles(T, N, F)
-    grid = (P * (N // tn), T // tt)  # t innermost: accumulation axis
-    g_spec = pl.BlockSpec(
-        (1, tt, F), lambda q, tb: (q // (N // tn), tb, 0),
-        memory_space=pltpu.VMEM,
-    )
-    h_spec = pl.BlockSpec(
-        (1, tt, tn, F),
-        lambda q, tb: (q // (N // tn), tb, q % (N // tn), 0),
-        memory_space=pltpu.VMEM,
-    )
-    r_spec = pl.BlockSpec(
-        (1, tn, F), lambda q, tb: (q // (N // tn), q % (N // tn), 0),
-        memory_space=pltpu.VMEM,
-    )
-    bytes_h = Hre.size * Hre.dtype.itemsize * 2
-    return pl.pallas_call(
-        _t_kernel,
-        grid=grid,
-        in_specs=[g_spec, g_spec, h_spec, h_spec],
-        out_specs=(r_spec, r_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((P, N, F), jnp.float32),
-            jax.ShapeDtypeStruct((P, N, F), jnp.float32),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=8 * P * T * N * F,
-            bytes_accessed=bytes_h + gre_b.size * 8,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(gre_b, gim_b, Hre, Him)
+# ---------------------------------------------------------------------------
+# Merged-branch kernels with in-kernel select (fft_pallas mode)
+# ---------------------------------------------------------------------------
 
 
 def _fwd_sel_kernel(rre_ref, rim_ref, hre_ref, him_ref, sel_ref,
@@ -233,24 +138,28 @@ def _t_sel_kernel(gre_ref, gim_ref, hre_ref, him_ref, sel_ref,
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _fwd_sel_pallas(rre2, rim2, Hre, Him, sel, interpret=False):
+    # rre2/rim2 may carry a scenario batch folded into the leading axis:
+    # PB = B * P with the table/node index p = q % P.
     P, T, N, F = Hre.shape
+    PB = rre2.shape[0]
     tt, tn = _tiles(T, N, F)
-    grid = (P * (T // tt), N // tn)
+    TBq = T // tt
+    grid = (PB * TBq, N // tn)
     r2_spec = pl.BlockSpec(
-        (1, 2, tn, F), lambda q, nb: (q // (T // tt), 0, nb, 0),
+        (1, 2, tn, F), lambda q, nb: (q // TBq, 0, nb, 0),
         memory_space=pltpu.VMEM,
     )
     h_spec = pl.BlockSpec(
         (1, tt, tn, F),
-        lambda q, nb: (q // (T // tt), q % (T // tt), nb, 0),
+        lambda q, nb: ((q // TBq) % P, q % TBq, nb, 0),
         memory_space=pltpu.VMEM,
     )
     sel_spec = pl.BlockSpec(
-        (1, tt, 1), lambda q, nb: (q // (T // tt), q % (T // tt), 0),
+        (1, tt, 1), lambda q, nb: ((q // TBq) % P, q % TBq, 0),
         memory_space=pltpu.VMEM,
     )
     g_spec = pl.BlockSpec(
-        (1, tt, F), lambda q, nb: (q // (T // tt), q % (T // tt), 0),
+        (1, tt, F), lambda q, nb: (q // TBq, q % TBq, 0),
         memory_space=pltpu.VMEM,
     )
     bytes_h = Hre.size * Hre.dtype.itemsize * 2
@@ -260,12 +169,12 @@ def _fwd_sel_pallas(rre2, rim2, Hre, Him, sel, interpret=False):
         in_specs=[r2_spec, r2_spec, h_spec, h_spec, sel_spec],
         out_specs=(g_spec, g_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((P, T, F), jnp.float32),
-            jax.ShapeDtypeStruct((P, T, F), jnp.float32),
+            jax.ShapeDtypeStruct((PB, T, F), jnp.float32),
+            jax.ShapeDtypeStruct((PB, T, F), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=12 * P * T * N * F,
-            bytes_accessed=bytes_h + rre2.size * 8,
+            flops=12 * PB * T * N * F,
+            bytes_accessed=bytes_h * (PB // P) + rre2.size * 8,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -275,23 +184,25 @@ def _fwd_sel_pallas(rre2, rim2, Hre, Him, sel, interpret=False):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _t_sel_pallas(gre_b, gim_b, Hre, Him, sel, interpret=False):
     P, T, N, F = Hre.shape
+    PB = gre_b.shape[0]
     tt, tn = _tiles(T, N, F)
-    grid = (P * (N // tn), T // tt)
+    NBq = N // tn
+    grid = (PB * NBq, T // tt)  # t innermost: accumulation axis
     g_spec = pl.BlockSpec(
-        (1, tt, F), lambda q, tb: (q // (N // tn), tb, 0),
+        (1, tt, F), lambda q, tb: (q // NBq, tb, 0),
         memory_space=pltpu.VMEM,
     )
     h_spec = pl.BlockSpec(
         (1, tt, tn, F),
-        lambda q, tb: (q // (N // tn), tb, q % (N // tn), 0),
+        lambda q, tb: ((q // NBq) % P, tb, q % NBq, 0),
         memory_space=pltpu.VMEM,
     )
     sel_spec = pl.BlockSpec(
-        (1, tt, 1), lambda q, tb: (q // (N // tn), tb, 0),
+        (1, tt, 1), lambda q, tb: ((q // NBq) % P, tb, 0),
         memory_space=pltpu.VMEM,
     )
     r2_spec = pl.BlockSpec(
-        (1, 2, tn, F), lambda q, tb: (q // (N // tn), 0, q % (N // tn), 0),
+        (1, 2, tn, F), lambda q, tb: (q // NBq, 0, q % NBq, 0),
         memory_space=pltpu.VMEM,
     )
     bytes_h = Hre.size * Hre.dtype.itemsize * 2
@@ -301,16 +212,21 @@ def _t_sel_pallas(gre_b, gim_b, Hre, Him, sel, interpret=False):
         in_specs=[g_spec, g_spec, h_spec, h_spec, sel_spec],
         out_specs=(r2_spec, r2_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((P, 2, N, F), jnp.float32),
-            jax.ShapeDtypeStruct((P, 2, N, F), jnp.float32),
+            jax.ShapeDtypeStruct((PB, 2, N, F), jnp.float32),
+            jax.ShapeDtypeStruct((PB, 2, N, F), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=16 * P * T * N * F,
-            bytes_accessed=bytes_h + gre_b.size * 8,
+            flops=16 * PB * T * N * F,
+            bytes_accessed=bytes_h * (PB // P) + gre_b.size * 8,
             transcendentals=0,
         ),
         interpret=interpret,
     )(gre_b, gim_b, Hre, Him, sel)
+
+
+# ---------------------------------------------------------------------------
+# Branch-grouped select-free kernels (fft_grouped mode)
+# ---------------------------------------------------------------------------
 
 
 def _grp_tn(N: int, tt: int, F: int) -> int:
@@ -359,16 +275,16 @@ def _t_grp_kernel(gre_ref, gim_ref, hre_ref, him_ref, rre_ref, rim_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _fwd_grp_pallas(rre_s, rim_s, Hre, Him, interpret=False):
     P, Tp, N, F = Hre.shape
-    TB = rre_s.shape[1]
+    PB, TB = rre_s.shape[:2]
     tt = Tp // TB
     tn = _grp_tn(N, tt, F)
-    grid = (P * TB, N // tn)  # n innermost: accumulation axis
+    grid = (PB * TB, N // tn)  # n innermost: accumulation axis
     r_spec = pl.BlockSpec(
         (1, 1, tn, F), lambda q, nb: (q // TB, q % TB, nb, 0),
         memory_space=pltpu.VMEM,
     )
     h_spec = pl.BlockSpec(
-        (1, tt, tn, F), lambda q, nb: (q // TB, q % TB, nb, 0),
+        (1, tt, tn, F), lambda q, nb: ((q // TB) % P, q % TB, nb, 0),
         memory_space=pltpu.VMEM,
     )
     g_spec = pl.BlockSpec(
@@ -382,12 +298,12 @@ def _fwd_grp_pallas(rre_s, rim_s, Hre, Him, interpret=False):
         in_specs=[r_spec, r_spec, h_spec, h_spec],
         out_specs=(g_spec, g_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((P, Tp, F), jnp.float32),
-            jax.ShapeDtypeStruct((P, Tp, F), jnp.float32),
+            jax.ShapeDtypeStruct((PB, Tp, F), jnp.float32),
+            jax.ShapeDtypeStruct((PB, Tp, F), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=8 * P * Tp * N * F,
-            bytes_accessed=bytes_h + rre_s.size * 8,
+            flops=8 * PB * Tp * N * F,
+            bytes_accessed=bytes_h * (PB // P) + rre_s.size * 8,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -397,15 +313,16 @@ def _fwd_grp_pallas(rre_s, rim_s, Hre, Him, interpret=False):
 @functools.partial(jax.jit, static_argnames=("TB", "interpret"))
 def _t_grp_pallas(gre_b, gim_b, Hre, Him, TB, interpret=False):
     P, Tp, N, F = Hre.shape
+    PB = gre_b.shape[0]
     tt = Tp // TB
     tn = _grp_tn(N, tt, F)
-    grid = (P * TB, N // tn)
+    grid = (PB * TB, N // tn)
     g_spec = pl.BlockSpec(
         (1, tt, F), lambda q, nb: (q // TB, q % TB, 0),
         memory_space=pltpu.VMEM,
     )
     h_spec = pl.BlockSpec(
-        (1, tt, tn, F), lambda q, nb: (q // TB, q % TB, nb, 0),
+        (1, tt, tn, F), lambda q, nb: ((q // TB) % P, q % TB, nb, 0),
         memory_space=pltpu.VMEM,
     )
     r_spec = pl.BlockSpec(
@@ -419,60 +336,40 @@ def _t_grp_pallas(gre_b, gim_b, Hre, Him, TB, interpret=False):
         in_specs=[g_spec, g_spec, h_spec, h_spec],
         out_specs=(r_spec, r_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((P, TB, N, F), jnp.float32),
-            jax.ShapeDtypeStruct((P, TB, N, F), jnp.float32),
+            jax.ShapeDtypeStruct((PB, TB, N, F), jnp.float32),
+            jax.ShapeDtypeStruct((PB, TB, N, F), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=8 * P * Tp * N * F,
-            bytes_accessed=bytes_h + gre_b.size * 8,
+            flops=8 * PB * Tp * N * F,
+            bytes_accessed=bytes_h * (PB // P) + gre_b.size * 8,
             transcendentals=0,
         ),
         interpret=interpret,
     )(gre_b, gim_b, Hre, Him)
 
 
-def _interp() -> bool:
-    return jax.default_backend() != "tpu"
+# ---------------------------------------------------------------------------
+# Public entry points: custom_vmap wrappers (batch folds into the node axis)
+# ---------------------------------------------------------------------------
 
 
-@jax.custom_transpose.custom_transpose
-def _filter_sum_ct(res, lin):
-    Hre, Him = res
-    rre, rim = lin
-    return _fwd_pallas(rre, rim, Hre, Him, interpret=_interp())
+def _fold_batch(arrs, B):
+    return [a.reshape((B * a.shape[1],) + a.shape[2:]) for a in arrs]
 
 
-@_filter_sum_ct.def_transpose
-def _filter_sum_transpose(res, out_bar):
-    Hre, Him = res
-    gre_b, gim_b = out_bar
-    return _t_pallas(gre_b, gim_b, Hre, Him, interpret=_interp())
+def _unfold_batch(arrs, B):
+    return tuple(a.reshape((B, a.shape[0] // B) + a.shape[1:]) for a in arrs)
 
 
-def filter_sum(rre, rim, Hre, Him):
-    """Batched complex filter-sum ``g[p,t,f] = sum_n r[p,n,f] H[p,t,n,f]``
-    as real planes; linear in (rre, rim) with a registered transpose (so the
-    projector adjoint via ``jax.linear_transpose`` works through it)."""
-    P, T, N, F = Hre.shape
-    # custom_transpose wants avals (ShapedArray), not ShapeDtypeStructs.
-    aval = jax.core.ShapedArray((P, T, F), jnp.float32)
-    return _filter_sum_ct((aval, aval), (Hre, Him), (rre, rim))
+def _check_tables_unbatched(in_batched, n_lin: int, name: str):
+    if not all(in_batched[:n_lin]) or any(in_batched[n_lin:]):
+        raise NotImplementedError(
+            f"{name}: vmap expects the spectra batched and the geometry "
+            f"tables unbatched (got in_batched={in_batched})"
+        )
 
 
-@jax.custom_transpose.custom_transpose
-def _filter_sum_sel_ct(res, lin):
-    Hre, Him, sel = res
-    rre2, rim2 = lin
-    return _fwd_sel_pallas(rre2, rim2, Hre, Him, sel, interpret=_interp())
-
-
-@_filter_sum_sel_ct.def_transpose
-def _filter_sum_sel_transpose(res, out_bar):
-    Hre, Him, sel = res
-    gre_b, gim_b = out_bar
-    return _t_sel_pallas(gre_b, gim_b, Hre, Him, sel, interpret=_interp())
-
-
+@custom_batching.custom_vmap
 def filter_sum_sel(rre2, rim2, Hre, Him, sel):
     """Branch-merged filter-sum: per angle t, contract the sel-selected
     spectrum plane (0 = image rows, 1 = transposed image rows) with the
@@ -480,30 +377,37 @@ def filter_sum_sel(rre2, rim2, Hre, Him, sel):
 
         g[p,t,f] = sum_n r[p, sel[p,t], n, f] * H[p,t,n,f]
 
-    rre2/rim2: [P, 2, N, F]; sel: [P, T, 1] float in {0, 1}. Linear in
-    (rre2, rim2) with a registered transpose."""
-    P, T, N, F = Hre.shape
-    aval = jax.core.ShapedArray((P, T, F), jnp.float32)
-    return _filter_sum_sel_ct((aval, aval), (Hre, Him, sel), (rre2, rim2))
+    rre2/rim2: [P, 2, N, F]; sel: [P, T, 1] float in {0, 1}. Output
+    [P, T, F] f32 pair. Adjoint: :func:`filter_sum_sel_t`."""
+    return _fwd_sel_pallas(rre2, rim2, Hre, Him, sel, interpret=_interp())
 
 
-@jax.custom_transpose.custom_transpose
-def _filter_sum_grp_ct(res, lin):
-    Hre, Him, onehot = res
-    rre_s, rim_s = lin
-    return _fwd_grp_pallas(rre_s, rim_s, Hre, Him, interpret=_interp())
+@filter_sum_sel.def_vmap
+def _filter_sum_sel_vmap(axis_size, in_batched, rre2, rim2, Hre, Him, sel):
+    _check_tables_unbatched(in_batched, 2, "filter_sum_sel")
+    rre2f, rim2f = _fold_batch([rre2, rim2], axis_size)
+    out = _fwd_sel_pallas(rre2f, rim2f, Hre, Him, sel, interpret=_interp())
+    return _unfold_batch(out, axis_size), (True, True)
 
 
-@_filter_sum_grp_ct.def_transpose
-def _filter_sum_grp_transpose(res, out_bar):
-    Hre, Him, onehot = res
-    gre_b, gim_b = out_bar
-    return _t_grp_pallas(
-        gre_b, gim_b, Hre, Him, TB=onehot.shape[1], interpret=_interp()
-    )
+@custom_batching.custom_vmap
+def filter_sum_sel_t(gre_b, gim_b, Hre, Him, sel):
+    """Exact transpose of :func:`filter_sum_sel` w.r.t. (rre2, rim2):
+    contract cotangents over angles with conj(H), routing each angle's
+    contribution to its selected spectrum plane. Output [P, 2, N, F]."""
+    return _t_sel_pallas(gre_b, gim_b, Hre, Him, sel, interpret=_interp())
 
 
-def filter_sum_grouped(rre_s, rim_s, Hre_g, Him_g, onehot):
+@filter_sum_sel_t.def_vmap
+def _filter_sum_sel_t_vmap(axis_size, in_batched, gre_b, gim_b, Hre, Him, sel):
+    _check_tables_unbatched(in_batched, 2, "filter_sum_sel_t")
+    gre_f, gim_f = _fold_batch([gre_b, gim_b], axis_size)
+    out = _t_sel_pallas(gre_f, gim_f, Hre, Him, sel, interpret=_interp())
+    return _unfold_batch(out, axis_size), (True, True)
+
+
+@custom_batching.custom_vmap
+def filter_sum_grouped(rre_s, rim_s, Hre_g, Him_g):
     """Branch-grouped select-free filter-sum:
 
         g[p, t, f] = sum_n r_s[p, blk(t), n, f] * H[p, t, n, f]
@@ -513,16 +417,45 @@ def filter_sum_grouped(rre_s, rim_s, Hre_g, Him_g, onehot):
     tt-angle block contracts a single spectrum plane; rre_s/rim_s
     [P, TB, N, F]: that block's selected spectrum (the one-hot gather done
     outside). No in-kernel select — the forward is the plain 8-op complex
-    FMA, the transpose a pure map (each block owns its output, no
-    accumulate) at half the select kernel's arithmetic. ``onehot``
-    [P, TB, 2] rides along so the transpose rule can recover TB. Output
-    [P, Tp, F] f32 pair in slot order; linear in (rre_s, rim_s) with a
-    registered transpose."""
-    P, Tp, N, F = Hre_g.shape
-    aval = jax.core.ShapedArray((P, Tp, F), jnp.float32)
-    return _filter_sum_grp_ct(
-        (aval, aval), (Hre_g, Him_g, onehot), (rre_s, rim_s)
+    FMA at half the select kernel's arithmetic. Output [P, Tp, F] f32 pair
+    in slot order. Adjoint: :func:`filter_sum_grouped_t`."""
+    return _fwd_grp_pallas(rre_s, rim_s, Hre_g, Him_g, interpret=_interp())
+
+
+@filter_sum_grouped.def_vmap
+def _filter_sum_grouped_vmap(axis_size, in_batched, rre_s, rim_s, Hre, Him):
+    _check_tables_unbatched(in_batched, 2, "filter_sum_grouped")
+    rre_f, rim_f = _fold_batch([rre_s, rim_s], axis_size)
+    out = _fwd_grp_pallas(rre_f, rim_f, Hre, Him, interpret=_interp())
+    return _unfold_batch(out, axis_size), (True, True)
+
+
+@custom_batching.custom_vmap
+def filter_sum_grouped_t(gre_b, gim_b, Hre_g, Him_g, blkmark):
+    """Exact transpose of :func:`filter_sum_grouped` w.r.t. (rre_s, rim_s):
+    a pure map (each slot block owns its output block). ``blkmark`` is any
+    array whose second dim is TB (the plan's ``onehot`` table) — it only
+    carries the block split. Output [P, TB, N, F] pair."""
+    return _t_grp_pallas(
+        gre_b, gim_b, Hre_g, Him_g, TB=blkmark.shape[1], interpret=_interp()
     )
+
+
+@filter_sum_grouped_t.def_vmap
+def _filter_sum_grouped_t_vmap(
+    axis_size, in_batched, gre_b, gim_b, Hre, Him, blkmark
+):
+    _check_tables_unbatched(in_batched, 2, "filter_sum_grouped_t")
+    gre_f, gim_f = _fold_batch([gre_b, gim_b], axis_size)
+    out = _t_grp_pallas(
+        gre_f, gim_f, Hre, Him, TB=blkmark.shape[1], interpret=_interp()
+    )
+    return _unfold_batch(out, axis_size), (True, True)
+
+
+# ---------------------------------------------------------------------------
+# Plain-jnp references (tests; also the transpose oracles)
+# ---------------------------------------------------------------------------
 
 
 def filter_sum_grouped_reference(rre_s, rim_s, Hre_g, Him_g):
@@ -539,6 +472,17 @@ def filter_sum_grouped_reference(rre_s, rim_s, Hre_g, Him_g):
     return g_re, g_im
 
 
+def filter_sum_reference(rre, rim, Hre, Him):
+    """Plain-jnp split-table filter-sum (f32 accumulation), kept as the
+    stage-bench oracle (``scripts/bench_fft_stages.py``)."""
+    ein = functools.partial(
+        jnp.einsum, "pnf,ptnf->ptf", preferred_element_type=jnp.float32
+    )
+    g_re = ein(rre, Hre) - ein(rim, Him)
+    g_im = ein(rre, Him) + ein(rim, Hre)
+    return g_re, g_im
+
+
 def filter_sum_sel_reference(rre2, rim2, Hre, Him, sel):
     """Plain-jnp reference for tests (reads both planes, selects)."""
     s = sel[:, :, None, :]  # [P, T, 1, 1]
@@ -548,14 +492,4 @@ def filter_sum_sel_reference(rre2, rim2, Hre, Him, sel):
     Him32 = Him.astype(jnp.float32)
     g_re = jnp.sum(rre * Hre32 - rim * Him32, axis=2)
     g_im = jnp.sum(rre * Him32 + rim * Hre32, axis=2)
-    return g_re, g_im
-
-
-def filter_sum_reference(rre, rim, Hre, Him):
-    """Plain-jnp reference (f32 accumulation) for tests."""
-    ein = functools.partial(
-        jnp.einsum, "pnf,ptnf->ptf", preferred_element_type=jnp.float32
-    )
-    g_re = ein(rre, Hre) - ein(rim, Him)
-    g_im = ein(rre, Him) + ein(rim, Hre)
     return g_re, g_im

@@ -10,10 +10,12 @@ As an XLA einsum this materializes the weight tensor w [P, T, D, Np]
 rebuilt from iota arithmetic inside the kernel (VPU) and reduced in VMEM —
 the stage's HBM traffic drops to g + out (a few MB).
 
-The transpose (adjoint: scatter detector cotangents back onto the profile
-grid, g_bar[t, v] = s_t * sum_d w[t, d, v] * out_bar[t, d]) has the same
-structure with the reduction over d, and is registered via
-``jax.custom_transpose`` so ``jax.linear_transpose`` of the projector works.
+The adjoint (scatter detector cotangents back onto the profile grid,
+g_bar[t, v] = s_t * sum_d w[t, d, v] * out_bar[t, d]) has the same
+structure with the reduction over d and is exposed as the explicit entry
+point :func:`hat_eval_t` (``ops.radon_fft`` composes projector adjoints by
+hand). Both directions carry ``custom_vmap`` rules folding a scenario
+batch into the node axis (geometry stays unbatched, indexed ``p % P``).
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import custom_batching
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -76,17 +79,17 @@ def _t_kernel(ob_ref, pc_ref, s_ref, gb_ref):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _fwd_pallas(g, pc, s, interpret=False):
-    P, T, Np = g.shape
-    D = pc.shape[-1]
+    P, T, D = pc.shape[0], pc.shape[1], pc.shape[-1]
+    PB, _, Np = g.shape
     tt = _pick(T, 8)
     dt = _pick(D, 128, mult=128)
     vt = _pick(Np, 256, mult=128)
-    grid = (P, T // tt, D // dt, Np // vt)  # v innermost: accumulation
+    grid = (PB, T // tt, D // dt, Np // vt)  # v innermost: accumulation
     g_spec = pl.BlockSpec((1, tt, vt), lambda p, tb, db, vb: (p, tb, vb),
                           memory_space=pltpu.VMEM)
-    pc_spec = pl.BlockSpec((1, tt, dt), lambda p, tb, db, vb: (p, tb, db),
+    pc_spec = pl.BlockSpec((1, tt, dt), lambda p, tb, db, vb: (p % P, tb, db),
                            memory_space=pltpu.VMEM)
-    s_spec = pl.BlockSpec((1, tt, 1), lambda p, tb, db, vb: (p, tb, 0),
+    s_spec = pl.BlockSpec((1, tt, 1), lambda p, tb, db, vb: (p % P, tb, 0),
                           memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, tt, dt), lambda p, tb, db, vb: (p, tb, db),
                             memory_space=pltpu.VMEM)
@@ -95,10 +98,10 @@ def _fwd_pallas(g, pc, s, interpret=False):
         grid=grid,
         in_specs=[g_spec, pc_spec, s_spec],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((P, T, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((PB, T, D), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=4 * P * T * D * Np,
-            bytes_accessed=(g.size + pc.size) * 4 * (D // dt) + P * T * D * 4,
+            flops=4 * PB * T * D * Np,
+            bytes_accessed=(g.size + pc.size) * 4 * (D // dt) + PB * T * D * 4,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -107,26 +110,29 @@ def _fwd_pallas(g, pc, s, interpret=False):
 
 @functools.partial(jax.jit, static_argnames=("Np", "interpret"))
 def _t_pallas(ob, pc, s, Np, interpret=False):
-    P, T, D = ob.shape
+    P, T, D = pc.shape
+    PB = ob.shape[0]
     tt = _pick(T, 8)
     vt = _pick(Np, 128, mult=128)
-    grid = (P, T // tt, Np // vt)
+    grid = (PB, T // tt, Np // vt)
     ob_spec = pl.BlockSpec((1, tt, D), lambda p, tb, vb: (p, tb, 0),
                            memory_space=pltpu.VMEM)
-    s_spec = pl.BlockSpec((1, tt, 1), lambda p, tb, vb: (p, tb, 0),
+    pc_spec = pl.BlockSpec((1, tt, D), lambda p, tb, vb: (p % P, tb, 0),
+                           memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((1, tt, 1), lambda p, tb, vb: (p % P, tb, 0),
                           memory_space=pltpu.VMEM)
     gb_spec = pl.BlockSpec((1, tt, vt), lambda p, tb, vb: (p, tb, vb),
                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _t_kernel,
         grid=grid,
-        in_specs=[ob_spec, ob_spec, s_spec],
+        in_specs=[ob_spec, pc_spec, s_spec],
         out_specs=gb_spec,
-        out_shape=jax.ShapeDtypeStruct((P, T, Np), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((PB, T, Np), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=4 * P * T * D * Np,
+            flops=4 * PB * T * D * Np,
             bytes_accessed=(ob.size + pc.size) * 4 * (Np // vt)
-            + P * T * Np * 4,
+            + PB * T * Np * 4,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -137,31 +143,43 @@ def _interp() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@jax.custom_transpose.custom_transpose
-def _hat_eval_ct(res, lin):
-    pc, s, np_marker = res
-    (g,) = lin
-    del np_marker
+@custom_batching.custom_vmap
+def hat_eval(g, pc, s):
+    """2-tap hat evaluation ``out[p,t,d] = s * sum_v hat(pc - v) g[p,t,v]``.
+    g: [P, T, Np], pc: [P, T, D], s: [P, T, 1]. Adjoint:
+    :func:`hat_eval_t`."""
     return _fwd_pallas(g, pc, s, interpret=_interp())
 
 
-@_hat_eval_ct.def_transpose
-def _hat_eval_transpose(res, out_bar):
-    pc, s, np_marker = res
-    Np = np_marker.shape[0]
-    return (_t_pallas(out_bar, pc, s, Np, interpret=_interp()),)
+@hat_eval.def_vmap
+def _hat_eval_vmap(axis_size, in_batched, g, pc, s):
+    if not in_batched[0] or in_batched[1] or in_batched[2]:
+        raise NotImplementedError(
+            "hat_eval: vmap expects g batched, geometry unbatched"
+        )
+    gf = g.reshape((axis_size * g.shape[1],) + g.shape[2:])
+    out = _fwd_pallas(gf, pc, s, interpret=_interp())
+    return out.reshape((axis_size, -1) + out.shape[1:]), True
 
 
-def hat_eval(g, pc, s):
-    """2-tap hat evaluation ``out[p,t,d] = s * sum_v hat(pc - v) g[p,t,v]``;
-    linear in g with a registered transpose. g: [P, T, Np], pc: [P, T, D],
-    s: [P, T, 1]."""
-    P, T, Np = g.shape
-    D = pc.shape[-1]
-    aval = jax.core.ShapedArray((P, T, D), jnp.float32)
-    # Np travels to the transpose rule through a shape-only marker residual.
-    np_marker = jnp.zeros((Np,), jnp.float32)
-    return _hat_eval_ct(aval, (pc, s, np_marker), (g,))
+@custom_batching.custom_vmap
+def hat_eval_t(ob, pc, s, np_marker):
+    """Exact transpose of :func:`hat_eval` w.r.t. g: scatter detector
+    cotangents back onto the profile grid. ``np_marker`` is any length-Np
+    array carrying the (static) profile length. Output [P, T, Np]."""
+    return _t_pallas(ob, pc, s, Np=np_marker.shape[-1], interpret=_interp())
+
+
+@hat_eval_t.def_vmap
+def _hat_eval_t_vmap(axis_size, in_batched, ob, pc, s, np_marker):
+    if not in_batched[0] or in_batched[1] or in_batched[2]:
+        raise NotImplementedError(
+            "hat_eval_t: vmap expects the cotangent batched, geometry "
+            "unbatched"
+        )
+    obf = ob.reshape((axis_size * ob.shape[1],) + ob.shape[2:])
+    out = _t_pallas(obf, pc, s, Np=np_marker.shape[-1], interpret=_interp())
+    return out.reshape((axis_size, -1) + out.shape[1:]), True
 
 
 def hat_eval_reference(g, pc, s):

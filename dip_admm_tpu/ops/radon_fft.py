@@ -29,8 +29,11 @@ integral (nonnegative weights, partition of unity); accuracy tests (analytic
 disk profile, mass preservation, adjointness) hold at the same tolerances.
 
 Angles with |cos| > |sin| use the transposed image (branch C), mirroring
-``ops.radon``. The adjoint comes from ``jax.linear_transpose`` and contains
-only transposed FFTs/matmuls — still gather/scatter-free.
+``ops.radon``. Adjoints of the node-batched Pallas paths are composed by
+hand (each stage's exact transpose in reverse order — still gather/
+scatter-free, and vmappable for scenario batching); the plain-jnp ``project``
+adjoint comes from ``jax.linear_transpose``. Hand-written adjoints are
+verified against ``jax.linear_transpose`` of the jnp reference in tests.
 
 Directly supports parallel-beam geometries (per-ray affine structure);
 fan-beam reuses this projector through angular rebinning (``ops.radon_fan``).
@@ -283,6 +286,74 @@ def _dft_mats(N: int, Np: int):
     return Ere, Eim, Cre, Cim
 
 
+def _ein32(*args):
+    return jnp.einsum(*args, preferred_element_type=jnp.float32)
+
+
+def _plane_spectra(imgs, t):
+    """Forward DFT of both image orientations' rows: [P, N, N] ->
+    ([P, 2, N, F], [P, 2, N, F]) real/imag planes (MXU matmuls)."""
+    rows2 = jnp.stack([imgs, imgs.transpose(0, 2, 1)], axis=1)  # [P,2,N,N]
+    rre2 = _ein32("ponv,pvf->ponf", rows2, t["Ere"])
+    rim2 = _ein32("ponv,pvf->ponf", rows2, t["Eim"])
+    return rre2, rim2
+
+
+def _plane_spectra_t(rre2_bar, rim2_bar, t, dtype):
+    """Exact transpose of :func:`_plane_spectra`."""
+    rows2_bar = _ein32("ponf,pvf->ponv", rre2_bar, t["Ere"]) + _ein32(
+        "ponf,pvf->ponv", rim2_bar, t["Eim"]
+    )
+    return (rows2_bar[:, 0] + rows2_bar[:, 1].transpose(0, 2, 1)).astype(dtype)
+
+
+def _eval_tail(g_re, g_im, t, dtype):
+    """irfft matmul + hat evaluation + branch scale: [P, T, F] spectra ->
+    [P, T, D] sinograms. The XLA hat einsum (MXU) wins while the
+    materialized weight tensor w [P, T, D, Np] stays HBM-friendly (measured:
+    4.1 vs 5.5 ms/normal-op at 256^2); past ~1.5 GB (512^2) materializing w
+    is infeasible and the on-the-fly Pallas kernel takes over."""
+    from dip_admm_tpu.ops.pallas.hat_eval import hat_eval
+
+    g = _ein32("ptf,pfv->ptv", g_re, t["Cre"]) + _ein32(
+        "ptf,pfv->ptv", g_im, t["Cim"]
+    )
+    P = g.shape[0]
+    T, D = t["p"].shape[-2:]
+    Np = t["Cre"].shape[-1]
+    if P * T * D * Np * 4 > 1.5e9:
+        return hat_eval(g, t["p"], t["s"][..., None]).astype(dtype)
+    g = g.astype(dtype)
+    v_idx = jnp.arange(Np, dtype=dtype)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(t["p"][..., None] - v_idx))
+    out = jnp.einsum("ptdv,ptv->ptd", w, g)
+    return t["s"][..., None] * out
+
+
+def _eval_tail_t(sinos, t):
+    """Exact transpose of :func:`_eval_tail`: [P, T, D] cotangents ->
+    ([P, T, F], [P, T, F]) spectrum cotangents."""
+    from dip_admm_tpu.ops.pallas.hat_eval import hat_eval_t
+
+    P, T, D = sinos.shape
+    Np = t["Cre"].shape[-1]
+    if P * T * D * Np * 4 > 1.5e9:
+        g_bar = hat_eval_t(
+            sinos.astype(jnp.float32), t["p"], t["s"][..., None],
+            t["Cre"][0, 0],
+        )
+    else:
+        v_idx = jnp.arange(Np, dtype=sinos.dtype)
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(t["p"][..., None] - v_idx))
+        g_bar = jnp.einsum(
+            "ptdv,ptd->ptv", w, t["s"][..., None] * sinos,
+            preferred_element_type=jnp.float32,
+        )
+    g_re_bar = _ein32("ptv,pfv->ptf", g_bar, t["Cre"])
+    g_im_bar = _ein32("ptv,pfv->ptf", g_bar, t["Cim"])
+    return g_re_bar, g_im_bar
+
+
 def project_nodes_merged(cfg: GeometryConfig, imgs, tables):
     """Batched forward projection [P, N, N] -> [P, T, D] on merged tables
     (:func:`precompute_merged`): DFT matmuls (MXU) + the select filter-sum
@@ -290,34 +361,25 @@ def project_nodes_merged(cfg: GeometryConfig, imgs, tables):
     if cfg.fan_beam:
         raise NotImplementedError("fft_pallas supports parallel beam only")
     from dip_admm_tpu.ops.pallas.filter_sum import filter_sum_sel
-    from dip_admm_tpu.ops.pallas.hat_eval import hat_eval
 
     t = tables
-    P, N, _ = imgs.shape
-    F = t["Hre"].shape[-1]
-    Np = 2 * (F - 1)
-    rows2 = jnp.stack([imgs, imgs.transpose(0, 2, 1)], axis=1)  # [P, 2, N, N]
-    ein = functools.partial(
-        jnp.einsum, preferred_element_type=jnp.float32
-    )
-    rre2 = ein("ponv,pvf->ponf", rows2, t["Ere"])
-    rim2 = ein("ponv,pvf->ponf", rows2, t["Eim"])
+    rre2, rim2 = _plane_spectra(imgs, t)
     g_re, g_im = filter_sum_sel(rre2, rim2, t["Hre"], t["Him"], t["sel"])
-    g = ein("ptf,pfv->ptv", g_re, t["Cre"]) + ein(
-        "ptf,pfv->ptv", g_im, t["Cim"]
+    return _eval_tail(g_re, g_im, t, imgs.dtype)
+
+
+def backproject_nodes_merged(cfg: GeometryConfig, sinos, tables):
+    """Exact adjoint of :func:`project_nodes_merged`, composed by hand
+    (each stage's transpose in reverse; verified against
+    ``jax.linear_transpose`` of the jnp reference in tests)."""
+    from dip_admm_tpu.ops.pallas.filter_sum import filter_sum_sel_t
+
+    t = tables
+    g_re_bar, g_im_bar = _eval_tail_t(sinos, t)
+    rre2_bar, rim2_bar = filter_sum_sel_t(
+        g_re_bar, g_im_bar, t["Hre"], t["Him"], t["sel"]
     )
-    T, D = t["p"].shape[-2:]
-    # Hat evaluation: the XLA einsum (MXU) wins while the materialized
-    # weight tensor w [P, T, D, Np] stays HBM-friendly (measured: 4.1 vs
-    # 5.5 ms/normal-op at 256^2); past ~1.5 GB (512^2) materializing w is
-    # infeasible and the on-the-fly Pallas kernel takes over.
-    if P * T * D * Np * 4 > 1.5e9:
-        return hat_eval(g, t["p"], t["s"][..., None]).astype(imgs.dtype)
-    g = g.astype(imgs.dtype)
-    v_idx = jnp.arange(Np, dtype=imgs.dtype)
-    w = jnp.maximum(0.0, 1.0 - jnp.abs(t["p"][..., None] - v_idx))
-    out = jnp.einsum("ptdv,ptv->ptd", w, g)
-    return t["s"][..., None] * out
+    return _plane_spectra_t(rre2_bar, rim2_bar, t, sinos.dtype)
 
 
 def precompute_merged_mxu(
@@ -479,22 +541,14 @@ def project_nodes_grouped(cfg: GeometryConfig, imgs, tables):
         raise NotImplementedError("fft_grouped supports parallel beam only")
     from dip_admm_tpu.ops.pallas.filter_mxu import permute_rows
     from dip_admm_tpu.ops.pallas.filter_sum import filter_sum_grouped
-    from dip_admm_tpu.ops.pallas.hat_eval import hat_eval
 
     t = tables
-    P, N, _ = imgs.shape
-    Np = t["Cre"].shape[-1]
-    rows2 = jnp.stack([imgs, imgs.transpose(0, 2, 1)], axis=1)  # [P,2,N,N]
-    ein = functools.partial(jnp.einsum, preferred_element_type=jnp.float32)
-    rre2 = ein("ponv,pvf->ponf", rows2, t["Ere"])
-    rim2 = ein("ponv,pvf->ponf", rows2, t["Eim"])
+    T = t["p"].shape[-2]
+    rre2, rim2 = _plane_spectra(imgs, t)
     # per-angle-block spectrum plane (transposable gather via one-hot)
-    rre_s = ein("ponf,pto->ptnf", rre2, t["onehot"])
-    rim_s = ein("ponf,pto->ptnf", rim2, t["onehot"])
-    g_re, g_im = filter_sum_grouped(
-        rre_s, rim_s, t["Hre_g"], t["Him_g"], t["onehot"]
-    )
-    T, D = t["p"].shape[-2:]
+    rre_s = _ein32("ponf,pto->ptnf", rre2, t["onehot"])
+    rim_s = _ein32("ponf,pto->ptnf", rim2, t["onehot"])
+    g_re, g_im = filter_sum_grouped(rre_s, rim_s, t["Hre_g"], t["Him_g"])
     if "WCre" in t:
         # Folded irfft+hat+scale tail: one einsum over f per plane, rows in
         # slot order (WC rows are slot-permuted at build), then the output
@@ -502,32 +556,46 @@ def project_nodes_grouped(cfg: GeometryConfig, imgs, tables):
         # lowering materializes an upcast table copy (the regression the
         # filter-sum kernel exists to avoid).
         wdt = t["WCre"].dtype
-        out = ein("ptdf,ptf->ptd", t["WCre"], g_re.astype(wdt)) + ein(
+        out = _ein32("ptdf,ptf->ptd", t["WCre"], g_re.astype(wdt)) + _ein32(
             "ptdf,ptf->ptd", t["WCim"], g_im.astype(wdt)
         )
-        out = permute_rows(out, t["posfull"], t["invposfull"])[:, :T]
+        out = permute_rows(out, t["posfull"])[:, :T]
         return out.astype(imgs.dtype)
-    g_re = permute_rows(g_re, t["posfull"], t["invposfull"])[:, :T]
-    g_im = permute_rows(g_im, t["posfull"], t["invposfull"])[:, :T]
-    g = ein("ptf,pfv->ptv", g_re, t["Cre"]) + ein(
-        "ptf,pfv->ptv", g_im, t["Cim"]
-    )
-    if P * T * D * Np * 4 > 1.5e9:
-        return hat_eval(g, t["p"], t["s"][..., None]).astype(imgs.dtype)
-    g = g.astype(imgs.dtype)
-    v_idx = jnp.arange(Np, dtype=imgs.dtype)
-    w = jnp.maximum(0.0, 1.0 - jnp.abs(t["p"][..., None] - v_idx))
-    out = jnp.einsum("ptdv,ptv->ptd", w, g)
-    return t["s"][..., None] * out
+    g_re = permute_rows(g_re, t["posfull"])[:, :T]
+    g_im = permute_rows(g_im, t["posfull"])[:, :T]
+    return _eval_tail(g_re, g_im, t, imgs.dtype)
+
+
+def _pad_unpermute(bar, t):
+    """Transpose of ``permute_rows(x, posfull)[:, :T]``: zero-pad the T rows
+    back to Tp slots and apply the inverse gather."""
+    Tp = t["posfull"].shape[1]
+    T = bar.shape[1]
+    bar_full = jnp.pad(bar, ((0, 0), (0, Tp - T)) + ((0, 0),) * (bar.ndim - 2))
+    return jnp.take_along_axis(bar_full, t["invposfull"][:, :, None], axis=1)
 
 
 def backproject_nodes_grouped(cfg: GeometryConfig, sinos, tables):
-    """Exact adjoint of :func:`project_nodes_grouped`."""
-    P = sinos.shape[0]
-    N = cfg.N
-    f = lambda x: project_nodes_grouped(cfg, x, tables)
-    (out,) = jax.linear_transpose(f, jnp.zeros((P, N, N), sinos.dtype))(sinos)
-    return out
+    """Exact adjoint of :func:`project_nodes_grouped`, composed by hand
+    (verified against ``jax.linear_transpose`` of the jnp reference)."""
+    from dip_admm_tpu.ops.pallas.filter_sum import filter_sum_grouped_t
+
+    t = tables
+    if "WCre" in t:
+        wdt = t["WCre"].dtype
+        ob = _pad_unpermute(sinos, t).astype(wdt)  # [P, Tp, D] slot order
+        g_re_bar = _ein32("ptdf,ptd->ptf", t["WCre"], ob)
+        g_im_bar = _ein32("ptdf,ptd->ptf", t["WCim"], ob)
+    else:
+        g_re_bar, g_im_bar = _eval_tail_t(sinos, t)
+        g_re_bar = _pad_unpermute(g_re_bar, t)
+        g_im_bar = _pad_unpermute(g_im_bar, t)
+    rre_s_bar, rim_s_bar = filter_sum_grouped_t(
+        g_re_bar, g_im_bar, t["Hre_g"], t["Him_g"], t["onehot"]
+    )
+    rre2_bar = _ein32("ptnf,pto->ponf", rre_s_bar, t["onehot"])
+    rim2_bar = _ein32("ptnf,pto->ponf", rim_s_bar, t["onehot"])
+    return _plane_spectra_t(rre2_bar, rim2_bar, t, sinos.dtype)
 
 
 def project_nodes_mxu(cfg: GeometryConfig, imgs, tables):
@@ -536,116 +604,33 @@ def project_nodes_mxu(cfg: GeometryConfig, imgs, tables):
     kernel + slot unpermute + hat evaluation. Parallel beam only."""
     if cfg.fan_beam:
         raise NotImplementedError("fft_mxu supports parallel beam only")
-    from dip_admm_tpu.ops.pallas.filter_mxu import (
-        filter_sum_mxu, permute_rows,
-    )
-    from dip_admm_tpu.ops.pallas.hat_eval import hat_eval
+    from dip_admm_tpu.ops.pallas.filter_mxu import filter_sum_mxu, permute_rows
 
     t = tables
-    P, N, _ = imgs.shape
-    Np = t["Cre"].shape[-1]
-    rows2 = jnp.stack([imgs, imgs.transpose(0, 2, 1)], axis=1)  # [P,2,N,N]
-    ein = functools.partial(jnp.einsum, preferred_element_type=jnp.float32)
-    rre2 = ein("ponv,pvf->ponf", rows2, t["Ere"])
-    rim2 = ein("ponv,pvf->ponf", rows2, t["Eim"])
-    # per-angle-block spectrum plane (transposable gather via one-hot)
-    rre_s = ein("ponf,pto->ptnf", rre2, t["onehot"])
-    rim_s = ein("ponf,pto->ptnf", rim2, t["onehot"])
-    g_re, g_im = filter_sum_mxu(
-        rre_s, rim_s, t["Hre_t"], t["Him_t"], t["onehot"]
-    )
-    T, D = t["p"].shape[-2:]
-    g_re = permute_rows(g_re, t["posfull"], t["invposfull"])[:, :T]
-    g_im = permute_rows(g_im, t["posfull"], t["invposfull"])[:, :T]
-    g = ein("ptf,pfv->ptv", g_re, t["Cre"]) + ein(
-        "ptf,pfv->ptv", g_im, t["Cim"]
-    )
-    if P * T * D * Np * 4 > 1.5e9:
-        return hat_eval(g, t["p"], t["s"][..., None]).astype(imgs.dtype)
-    g = g.astype(imgs.dtype)
-    v_idx = jnp.arange(Np, dtype=imgs.dtype)
-    w = jnp.maximum(0.0, 1.0 - jnp.abs(t["p"][..., None] - v_idx))
-    out = jnp.einsum("ptdv,ptv->ptd", w, g)
-    return t["s"][..., None] * out
+    T = t["p"].shape[-2]
+    rre2, rim2 = _plane_spectra(imgs, t)
+    rre_s = _ein32("ponf,pto->ptnf", rre2, t["onehot"])
+    rim_s = _ein32("ponf,pto->ptnf", rim2, t["onehot"])
+    g_re, g_im = filter_sum_mxu(rre_s, rim_s, t["Hre_t"], t["Him_t"])
+    g_re = permute_rows(g_re, t["posfull"])[:, :T]
+    g_im = permute_rows(g_im, t["posfull"])[:, :T]
+    return _eval_tail(g_re, g_im, t, imgs.dtype)
 
 
 def backproject_nodes_mxu(cfg: GeometryConfig, sinos, tables):
-    """Exact adjoint of :func:`project_nodes_mxu`."""
-    P = sinos.shape[0]
-    N = cfg.N
-    f = lambda x: project_nodes_mxu(cfg, x, tables)
-    (out,) = jax.linear_transpose(f, jnp.zeros((P, N, N), sinos.dtype))(sinos)
-    return out
+    """Exact adjoint of :func:`project_nodes_mxu`, composed by hand."""
+    from dip_admm_tpu.ops.pallas.filter_mxu import filter_sum_mxu_t
 
-
-def backproject_nodes_merged(cfg: GeometryConfig, sinos, tables):
-    """Exact adjoint of :func:`project_nodes_merged`."""
-    P = sinos.shape[0]
-    N = cfg.N
-    f = lambda x: project_nodes_merged(cfg, x, tables)
-    (out,) = jax.linear_transpose(f, jnp.zeros((P, N, N), sinos.dtype))(sinos)
-    return out
-
-
-def _branch_apply_nodes(imgs, Hre, Him, p, scale, use_pallas=True):
-    """Node-batched :func:`_branch_apply`: imgs [P, N, N], tables with a
-    leading node axis (as produced by ``loader.build_fft_tables``).
-
-    With ``use_pallas`` the filter-sum contraction runs as the Pallas kernel
-    (``ops.pallas.filter_sum``), which reads the H tables in their storage
-    dtype and accumulates in f32 — the path that makes bfloat16 tables an
-    actual 2x traffic win (the XLA einsum materializes an upcast copy).
-    Written batched (no vmap) because the Pallas custom-transpose wrapper
-    carries its own transpose rule but no batching rule.
-    """
-    P, N, _ = imgs.shape
-    Np = 2 * (Hre.shape[-1] - 1)
-    rows = jnp.pad(imgs, ((0, 0), (0, 0), (0, Np - N)))
-    rhat = jnp.fft.rfft(rows, axis=2)  # [P, N, F]
-    rre = jnp.real(rhat)
-    rim = jnp.imag(rhat)
-    if use_pallas:
-        from dip_admm_tpu.ops.pallas.filter_sum import filter_sum
-
-        g_re, g_im = filter_sum(rre, rim, Hre, Him)
-    else:
-        ein = functools.partial(
-            jnp.einsum, "pnf,ptnf->ptf", preferred_element_type=jnp.float32
-        )
-        g_re = ein(rre, Hre) - ein(rim, Him)
-        g_im = ein(rre, Him) + ein(rim, Hre)
-    ghat = jax.lax.complex(g_re, g_im)
-    g = jnp.fft.irfft(ghat, n=Np, axis=2).astype(imgs.dtype)  # [P, T, Np]
-    v_idx = jnp.arange(Np, dtype=imgs.dtype)
-    w = jnp.maximum(0.0, 1.0 - jnp.abs(p[..., None] - v_idx))  # [P, T, D, Np]
-    out = jnp.einsum("ptdv,ptv->ptd", w, g)
-    return scale[..., None] * out
-
-
-def project_nodes(cfg: GeometryConfig, imgs, tables, use_pallas=True):
-    """Batched forward projection [P, N, N] -> [P, T, D] on per-node tables
-    (parallel beam). The Pallas fast path for the sharded/looped runtime."""
-    if cfg.fan_beam:
-        raise NotImplementedError("fft_pallas supports parallel beam only")
     t = tables
-    out = _branch_apply_nodes(
-        imgs, t["Hre_r"], t["Him_r"], t["p_r"], t["s_r"], use_pallas
+    g_re_bar, g_im_bar = _eval_tail_t(sinos, t)
+    g_re_bar = _pad_unpermute(g_re_bar, t)
+    g_im_bar = _pad_unpermute(g_im_bar, t)
+    rre_s_bar, rim_s_bar = filter_sum_mxu_t(
+        g_re_bar, g_im_bar, t["Hre_t"], t["Him_t"], t["onehot"]
     )
-    out = out + _branch_apply_nodes(
-        imgs.transpose(0, 2, 1), t["Hre_c"], t["Him_c"], t["p_c"], t["s_c"],
-        use_pallas,
-    )
-    return out
-
-
-def backproject_nodes(cfg: GeometryConfig, sinos, tables, use_pallas=True):
-    """Exact adjoint of :func:`project_nodes` ([P, T, D] -> [P, N, N]); the
-    Pallas filter-sum transposes through its registered custom_transpose."""
-    P = sinos.shape[0]
-    N = cfg.N
-    f = lambda x: project_nodes(cfg, x, tables, use_pallas)
-    (out,) = jax.linear_transpose(f, jnp.zeros((P, N, N), sinos.dtype))(sinos)
-    return out
+    rre2_bar = _ein32("ptnf,pto->ponf", rre_s_bar, t["onehot"])
+    rim2_bar = _ein32("ptnf,pto->ponf", rim_s_bar, t["onehot"])
+    return _plane_spectra_t(rre2_bar, rim2_bar, t, sinos.dtype)
 
 
 def backproject(

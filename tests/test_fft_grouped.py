@@ -1,7 +1,8 @@
 """``fft_grouped`` projector mode: the branch-grouped select-free VPU
 filter-sum path must be numerically equivalent to the ``fft``/``fft_pallas``
 paths (interpreter mode on CPU; the same kernels compile on TPU), including
-the slot permutation and the adjoint through ``jax.linear_transpose``."""
+the slot permutation, the hand-written adjoint chain (verified as the exact
+transpose), and scenario batching via vmap."""
 
 import jax
 import jax.numpy as jnp
@@ -40,17 +41,16 @@ def test_filter_sum_grouped_matches_reference_and_transposes():
     Hre = jax.random.normal(k[2], (P, Tp, N, F))
     Him = jax.random.normal(k[3], (P, Tp, N, F))
     onehot = jnp.zeros((P, TB, 2))
-    got = fs.filter_sum_grouped(rre_s, rim_s, Hre, Him, onehot)
+    got = fs.filter_sum_grouped(rre_s, rim_s, Hre, Him)
     want = fs.filter_sum_grouped_reference(rre_s, rim_s, Hre, Him)
     for g, w in zip(got, want):
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(w), rtol=1e-4, atol=1e-3
         )
-    f = lambda rr, ri: fs.filter_sum_grouped(rr, ri, Hre, Him, onehot)
     fr = lambda rr, ri: fs.filter_sum_grouped_reference(rr, ri, Hre, Him)
     gre_b = jax.random.normal(k[0], (P, Tp, F))
     gim_b = jax.random.normal(k[1], (P, Tp, F))
-    rre_b, rim_b = jax.linear_transpose(f, rre_s, rim_s)((gre_b, gim_b))
+    rre_b, rim_b = fs.filter_sum_grouped_t(gre_b, gim_b, Hre, Him, onehot)
     rre_w, rim_w = jax.linear_transpose(fr, rre_s, rim_s)((gre_b, gim_b))
     np.testing.assert_allclose(
         np.asarray(rre_b), np.asarray(rre_w), rtol=1e-4, atol=1e-3
@@ -58,6 +58,49 @@ def test_filter_sum_grouped_matches_reference_and_transposes():
     np.testing.assert_allclose(
         np.asarray(rim_b), np.asarray(rim_w), rtol=1e-4, atol=1e-3
     )
+
+
+def test_filter_sum_grouped_vmaps():
+    k = jax.random.split(jax.random.PRNGKey(12), 4)
+    B, P, TB, tt, N, F = 3, 2, 3, 8, 32, 40
+    Tp = TB * tt
+    rre_s = jax.random.normal(k[0], (B, P, TB, N, F))
+    rim_s = jax.random.normal(k[1], (B, P, TB, N, F))
+    Hre = jax.random.normal(k[2], (P, Tp, N, F))
+    Him = jax.random.normal(k[3], (P, Tp, N, F))
+    got = jax.vmap(
+        lambda rr, ri: fs.filter_sum_grouped(rr, ri, Hre, Him)
+    )(rre_s, rim_s)
+    for b in range(B):
+        want = fs.filter_sum_grouped_reference(rre_s[b], rim_s[b], Hre, Him)
+        for g, w in zip((got[0][b], got[1][b]), want):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=1e-4, atol=1e-3
+            )
+
+
+def test_backproject_grouped_is_exact_adjoint():
+    """<A x, y> == <x, A^T y> for the full hand-composed grouped projector
+    pair, folded and unfolded eval tails."""
+    from dip_admm_tpu.ops import radon, radon_fft
+
+    cfg = _cfg()
+    geo = cfg.geometry
+    angles_np, valid_np, _ = radon.node_angles(geo)
+    angles = jnp.asarray(angles_np, jnp.float32)
+    valid = jnp.asarray(valid_np)
+    P = geo.num_nodes
+    for fold in (True, False):
+        t = radon_fft.precompute_grouped(geo, angles, valid, fold_eval=fold)
+        x = jax.random.normal(jax.random.PRNGKey(7), (P, geo.N, geo.N))
+        y = jax.random.normal(
+            jax.random.PRNGKey(8), (P, angles.shape[1], geo.n_det)
+        )
+        Ax = radon_fft.project_nodes_grouped(geo, x, t)
+        Aty = radon_fft.backproject_nodes_grouped(geo, y, t)
+        lhs = float(jnp.sum(Ax * y))
+        rhs = float(jnp.sum(x * Aty))
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
 
 
 def test_mode_matches_fft_forward_adjoint():
@@ -92,9 +135,20 @@ def test_mode_admm_trajectory_matches_fft():
     )
 
 
-def test_scenario_batching_rejected_with_clear_error():
+def test_scenario_batching_matches_per_run():
+    """run_admm_batched in mode fft_grouped (BASELINE config 4 on the fast
+    projector): each batch lane must match its standalone run."""
+    import dataclasses
+
     cfg = _cfg()
     problem = loader.build_problem(cfg, mode="fft_grouped")
-    bb = jnp.stack([problem.b, problem.b])
-    with pytest.raises(ValueError, match="fft_grouped"):
-        admm.run_admm_batched(problem, bb)
+    bb = jnp.stack([problem.b, problem.b * 1.15])
+    res = admm.run_admm_batched(problem, bb)
+    assert res.x.shape == (2, 3, cfg.geometry.n)
+    for i in range(2):
+        single = admm.run_admm(
+            dataclasses.replace(problem, b=bb[i]), cfg.admm
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.x[i]), np.asarray(single.x), rtol=2e-4, atol=2e-4
+        )

@@ -75,17 +75,16 @@ def test_filter_sum_mxu_matches_reference_and_transposes():
     Hre = jax.random.normal(k[2], (P, FB, NB, Tp, tn * 128))
     Him = jax.random.normal(k[3], (P, FB, NB, Tp, tn * 128))
     blk = jnp.zeros((P, TB, 2))
-    got = fm.filter_sum_mxu(rre, rim, Hre, Him, blk)
+    got = fm.filter_sum_mxu(rre, rim, Hre, Him)
     want = fm.filter_sum_mxu_reference(rre, rim, Hre, Him)
     for g, w in zip(got, want):
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(w), rtol=1e-4, atol=1e-3
         )
-    f = lambda rr, ri: fm.filter_sum_mxu(rr, ri, Hre, Him, blk)
     fr = lambda rr, ri: fm.filter_sum_mxu_reference(rr, ri, Hre, Him)
     gre_b = jax.random.normal(k[0], (P, Tp, Fpad))
     gim_b = jax.random.normal(k[1], (P, Tp, Fpad))
-    rre_b, rim_b = jax.linear_transpose(f, rre, rim)((gre_b, gim_b))
+    rre_b, rim_b = fm.filter_sum_mxu_t(gre_b, gim_b, Hre, Him, blk)
     rre_w, rim_w = jax.linear_transpose(fr, rre, rim)((gre_b, gim_b))
     np.testing.assert_allclose(
         np.asarray(rre_b), np.asarray(rre_w), rtol=1e-4, atol=1e-3
@@ -95,7 +94,7 @@ def test_filter_sum_mxu_matches_reference_and_transposes():
     )
 
 
-def test_permute_rows_transpose_is_inverse_gather():
+def test_permute_rows_inverse_gather_is_adjoint():
     k = jax.random.PRNGKey(3)
     P, Tp, F = 2, 12, 8
     g = jax.random.normal(k, (P, Tp, F))
@@ -104,10 +103,9 @@ def test_permute_rows_transpose_is_inverse_gather():
          for i in range(P)]
     ).astype(jnp.int32)
     inv = jnp.argsort(pos, axis=1).astype(jnp.int32)
-    f = lambda x: fm.permute_rows(x, pos, inv)
-    y = f(g)
+    y = fm.permute_rows(g, pos)
     yb = jax.random.normal(k, y.shape)
-    (gb,) = jax.linear_transpose(f, g)(yb)
+    gb = fm.permute_rows(yb, inv)
     np.testing.assert_allclose(
         float(jnp.sum(y * yb)), float(jnp.sum(g * gb)), rtol=1e-5
     )
@@ -145,12 +143,18 @@ def test_mode_admm_trajectory_matches_fft():
     )
 
 
-def test_scenario_batching_rejected_with_clear_error():
+def test_scenario_batching_matches_per_run():
     cfg = _cfg()
     problem = loader.build_problem(cfg, mode="fft_mxu")
-    bb = jnp.stack([problem.b, problem.b])
-    with pytest.raises(ValueError, match="fft_mxu"):
-        admm.run_admm_batched(problem, bb)
+    bb = jnp.stack([problem.b, problem.b * 1.15])
+    res = admm.run_admm_batched(problem, bb)
+    for i in range(2):
+        single = admm.run_admm(
+            dataclasses.replace(problem, b=bb[i]), cfg.admm
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.x[i]), np.asarray(single.x), rtol=2e-4, atol=2e-4
+        )
 
 
 def test_fan_beam_rejected():

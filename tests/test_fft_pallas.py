@@ -1,7 +1,8 @@
 """``fft_pallas`` projector mode: the Pallas filter-sum kernel path must be
 numerically equivalent to the vmapped XLA ``fft`` path (interpreter mode on
-CPU; the same kernels compile on TPU), including through the adjoint built by
-``jax.linear_transpose`` over the registered custom_transpose."""
+CPU; the same kernels compile on TPU), including through the hand-written
+adjoint chain (verified as the exact transpose) and under vmap (scenario
+batching)."""
 
 import dataclasses
 
@@ -33,38 +34,6 @@ def _cfg(N=16, P=3):
     )
 
 
-def test_filter_sum_matches_einsum():
-    k = jax.random.split(jax.random.PRNGKey(0), 4)
-    P, T, N, F = 2, 12, 32, 130
-    rre = jax.random.normal(k[0], (P, N, F))
-    rim = jax.random.normal(k[1], (P, N, F))
-    Hre = jax.random.normal(k[2], (P, T, N, F))
-    Him = jax.random.normal(k[3], (P, T, N, F))
-    got = fs.filter_sum(rre, rim, Hre, Him)
-    want = fs.filter_sum_reference(rre, rim, Hre, Him)
-    for g, w in zip(got, want):
-        np.testing.assert_allclose(
-            np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-4
-        )
-
-
-def test_filter_sum_transpose_is_exact_adjoint():
-    k = jax.random.split(jax.random.PRNGKey(1), 4)
-    P, T, N, F = 2, 8, 16, 65
-    rre = jax.random.normal(k[0], (P, N, F))
-    rim = jax.random.normal(k[1], (P, N, F))
-    Hre = jax.random.normal(k[2], (P, T, N, F))
-    Him = jax.random.normal(k[3], (P, T, N, F))
-    f = lambda rr, ri: fs.filter_sum(rr, ri, Hre, Him)
-    got = f(rre, rim)
-    gre_b = jax.random.normal(k[0], (P, T, F))
-    gim_b = jax.random.normal(k[1], (P, T, F))
-    rre_b, rim_b = jax.linear_transpose(f, rre, rim)((gre_b, gim_b))
-    lhs = jnp.sum(got[0] * gre_b) + jnp.sum(got[1] * gim_b)
-    rhs = jnp.sum(rre * rre_b) + jnp.sum(rim * rim_b)
-    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-4)
-
-
 def test_filter_sum_sel_matches_reference_and_transposes():
     k = jax.random.split(jax.random.PRNGKey(4), 5)
     P, T, N, F = 2, 8, 16, 65
@@ -79,13 +48,41 @@ def test_filter_sum_sel_matches_reference_and_transposes():
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-4
         )
-    f = lambda rr, ri: fs.filter_sum_sel(rr, ri, Hre, Him, sel)
+    # The explicit transpose entry point is the exact adjoint — and matches
+    # linear_transpose of the jnp reference.
     gre_b = jax.random.normal(k[0], (P, T, F))
     gim_b = jax.random.normal(k[1], (P, T, F))
-    rre_b, rim_b = jax.linear_transpose(f, rre2, rim2)((gre_b, gim_b))
+    rre_b, rim_b = fs.filter_sum_sel_t(gre_b, gim_b, Hre, Him, sel)
     lhs = jnp.sum(got[0] * gre_b) + jnp.sum(got[1] * gim_b)
     rhs = jnp.sum(rre2 * rre_b) + jnp.sum(rim2 * rim_b)
     np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-4)
+    fr = lambda rr, ri: fs.filter_sum_sel_reference(rr, ri, Hre, Him, sel)
+    rre_w, rim_w = jax.linear_transpose(fr, rre2, rim2)((gre_b, gim_b))
+    np.testing.assert_allclose(
+        np.asarray(rre_b), np.asarray(rre_w), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(rim_b), np.asarray(rim_w), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_filter_sum_sel_vmaps():
+    k = jax.random.split(jax.random.PRNGKey(6), 5)
+    B, P, T, N, F = 3, 2, 8, 16, 65
+    rre2 = jax.random.normal(k[0], (B, P, 2, N, F))
+    rim2 = jax.random.normal(k[1], (B, P, 2, N, F))
+    Hre = jax.random.normal(k[2], (P, T, N, F))
+    Him = jax.random.normal(k[3], (P, T, N, F))
+    sel = (jax.random.uniform(k[4], (P, T, 1)) > 0.5).astype(jnp.float32)
+    got = jax.vmap(
+        lambda rr, ri: fs.filter_sum_sel(rr, ri, Hre, Him, sel)
+    )(rre2, rim2)
+    for b in range(B):
+        want = fs.filter_sum_sel_reference(rre2[b], rim2[b], Hre, Him, sel)
+        for g, w in zip((got[0][b], got[1][b]), want):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-4
+            )
 
 
 def test_hat_eval_matches_reference_and_transposes():
@@ -101,12 +98,19 @@ def test_hat_eval_matches_reference_and_transposes():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
     )
-    f = lambda gg: he.hat_eval(gg, pc, s)
     ob = jax.random.normal(k[0], (P, T, D))
-    (gb,) = jax.linear_transpose(f, g)(ob)
+    gb = he.hat_eval_t(ob, pc, s, jnp.zeros((Np,)))
     lhs = jnp.sum(got * ob)
     rhs = jnp.sum(g * gb)
     np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-4)
+    # vmap folds the batch into the node axis.
+    gB = jax.random.normal(k[2], (3, P, T, Np))
+    outB = jax.vmap(lambda gg: he.hat_eval(gg, pc, s))(gB)
+    for b in range(3):
+        np.testing.assert_allclose(
+            np.asarray(outB[b]), np.asarray(he.hat_eval_reference(gB[b], pc, s)),
+            rtol=1e-5, atol=1e-5,
+        )
 
 
 def test_mode_matches_fft_forward_adjoint():
@@ -142,14 +146,20 @@ def test_mode_admm_trajectory_matches_fft():
     )
 
 
-def test_scenario_batching_rejected_with_clear_error():
-    import jax.numpy as jnp
-
+def test_scenario_batching_fft_pallas_matches_per_run():
+    """run_admm_batched traverses the Pallas projector kernels via the
+    custom_vmap rules; each batch lane must match its standalone run."""
     cfg = _cfg()
     problem = loader.build_problem(cfg, mode="fft_pallas")
-    bb = jnp.stack([problem.b, problem.b])
-    with pytest.raises(ValueError, match="fft_pallas"):
-        admm.run_admm_batched(problem, bb)
+    bb = jnp.stack([problem.b, problem.b * 1.15])
+    res = admm.run_admm_batched(problem, bb)
+    for i in range(2):
+        single = admm.run_admm(
+            dataclasses.replace(problem, b=bb[i]), cfg.admm
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.x[i]), np.asarray(single.x), rtol=2e-4, atol=2e-4
+        )
 
 
 def test_use_pallas_consensus_supports_batching():
