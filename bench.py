@@ -64,9 +64,11 @@ def measure_tpu_throughput(N=256, P=8, timed_iters=20, dtype="float32",
         fft_table_dtype="bfloat16",
     )
     build_start = time.perf_counter()
-    problem = loader.build_problem(
-        cfg, mode=("dense" if N <= 128 else "fft_pallas")
-    )
+    # mode=None -> the loader's auto choice (dense at N<=128, fft_grouped
+    # above) — keeping the headline on the same path every default-mode
+    # user gets. fft_grouped measured 3.29 ms/normal-op vs fft_pallas'
+    # 3.84-4.0 at this operating point (RESULTS.md).
+    problem = loader.build_problem(cfg)
     jax.block_until_ready(problem.b)
     build_s = time.perf_counter() - build_start
 
@@ -153,8 +155,16 @@ def main():
         fallback = f"TPU run failed ({type(e).__name__}); CPU 64^2 FLOP-scaled"
     value = tpu["iters_per_s"]
     vs = value / ref["ref_proxy_iters_per_s_256"]
+    # A fallback measurement is NOT the headline metric: report it under a
+    # distinct name so a failed TPU round can never masquerade as a real
+    # 256^2 TPU datapoint.
+    metric = (
+        "admm_iters_per_s_256x256_8nodes"
+        if fallback is None
+        else "admm_iters_per_s_CPU_FALLBACK_flopscaled"
+    )
     out = {
-        "metric": "admm_iters_per_s_256x256_8nodes",
+        "metric": metric,
         "value": round(value, 4),
         "unit": "iters/s",
         "vs_baseline": round(vs, 2),

@@ -119,9 +119,11 @@ class AdmmConfig:
     # Run the fused z/y/residual edge update as the Pallas TPU kernel
     # (ops/pallas/consensus.py): one HBM pass over the [P_loc, P, n] edge
     # state instead of the ~6 XLA temporaries. Numerics identical; pays off
-    # as the edge-state footprint grows (>= 8 nodes at 256^2). Off-TPU the
-    # kernel runs in interpreter mode (tests) — keep False for CPU perf.
-    use_pallas: bool = False
+    # as the edge-state footprint grows (measured 3.43 vs 4.28 ms at
+    # 8 nodes/256^2, RESULTS.md). None = auto: on when running on TPU with
+    # >= 8 graph nodes, off otherwise (off-TPU the kernel would run in the
+    # slow interpreter; below 8 nodes the XLA chain is already cheap).
+    use_pallas: Optional[bool] = None
     node: NodeSolverConfig = dataclasses.field(default_factory=NodeSolverConfig)
 
 

@@ -161,7 +161,10 @@ def admm_iteration(
     A_T = comm.pair_transpose(A_prop)  # [i_loc, j, n] -> a_j = x̂_j + y_ij,j
     if cfg.z_fusion not in ("midpoint", "weighted"):
         raise ValueError("z_fusion must be 'midpoint' or 'weighted'")
-    if cfg.use_pallas:
+    use_pallas = cfg.use_pallas
+    if use_pallas is None:  # auto: measured win on TPU at >= 8 nodes
+        use_pallas = jax.default_backend() == "tpu" and P >= 8
+    if use_pallas:
         # Fused z/y/residual edge update in one HBM pass (Pallas kernel;
         # interpreter mode off-TPU so tests stay CPU-runnable).
         from dip_admm_tpu.ops.pallas import consensus as pallas_consensus
@@ -372,10 +375,11 @@ def run_admm_batched(
     Returns an AdmmResult with a leading batch axis on every array.
     """
     cfg = cfg if cfg is not None else problem.cfg.admm
-    if cfg.use_pallas:
+    if cfg.use_pallas is not False:
         # The fused consensus kernel has no batching rule; the projector
         # kernels do (custom_vmap folds the batch into the node axis), and
-        # the consensus math runs fine as the XLA chain under vmap.
+        # the consensus math runs fine as the XLA chain under vmap. This
+        # also pins the "auto" setting to the XLA chain.
         import dataclasses as _dc
 
         cfg = _dc.replace(cfg, use_pallas=False)

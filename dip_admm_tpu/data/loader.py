@@ -149,19 +149,42 @@ def make_node_ops(
         adj = lambda r: proj_mod.backproject_nodes_mxu(
             geo, r.reshape(r.shape[0], -1, D), tables
         ).reshape(r.shape[0], -1)
-    elif mode == "fft_grouped":
+    elif mode == "fft_shear":
         from dip_admm_tpu.ops import radon_fft as proj_mod
 
         if geo.fan_beam:
-            raise NotImplementedError("fft_grouped supports parallel beam only")
+            raise NotImplementedError("fft_shear supports parallel beam only")
         if tables is None:
-            tables = proj_mod.precompute_grouped(geo, angles, valid)
-        fwd = lambda x: proj_mod.project_nodes_grouped(
+            tables = proj_mod.precompute_shear(geo, angles, valid)
+        fwd = lambda x: proj_mod.project_nodes_shear(
             geo, x.reshape(-1, N, N), tables
         ).reshape(x.shape[0], -1)
-        adj = lambda r: proj_mod.backproject_nodes_grouped(
+        adj = lambda r: proj_mod.backproject_nodes_shear(
             geo, r.reshape(r.shape[0], -1, D), tables
         ).reshape(r.shape[0], -1)
+    elif mode == "fft_grouped":
+        if geo.fan_beam:
+            from dip_admm_tpu.ops import radon_fan as proj_mod
+
+            if tables is None:
+                tables = proj_mod.precompute_fan_grouped(geo, angles, valid)
+            fwd = lambda x: proj_mod.project_nodes_fan_grouped(
+                geo, x.reshape(-1, N, N), tables
+            ).reshape(x.shape[0], -1)
+            adj = lambda r: proj_mod.backproject_nodes_fan_grouped(
+                geo, r.reshape(r.shape[0], -1, D), tables
+            ).reshape(r.shape[0], -1)
+        else:
+            from dip_admm_tpu.ops import radon_fft as proj_mod
+
+            if tables is None:
+                tables = proj_mod.precompute_grouped(geo, angles, valid)
+            fwd = lambda x: proj_mod.project_nodes_grouped(
+                geo, x.reshape(-1, N, N), tables
+            ).reshape(x.shape[0], -1)
+            adj = lambda r: proj_mod.backproject_nodes_grouped(
+                geo, r.reshape(r.shape[0], -1, D), tables
+            ).reshape(r.shape[0], -1)
     elif mode == "fft":
         if geo.fan_beam:
             from dip_admm_tpu.ops import radon_fan as proj_mod
@@ -200,13 +223,12 @@ def _node_colnorms(mode: str, cfg: GeometryConfig, angles, valid, A=None):
             angles, valid
         )
     elif mode.startswith("fft") and cfg.fan_beam:
-        # Rebinned fan operator: exact parallel-stage column norms on the
-        # rebinned geometry (x2 for the 2*pi periodization).
+        # Rebinned fan operator: EXACT per-pixel column norms including the
+        # rebin-filter attenuation and the node's row mask (node-batched;
+        # the per-angle weight blocks are shared across nodes).
         from dip_admm_tpu.ops import radon_fan
 
-        W = jax.vmap(lambda a, v: radon_fan.colnorms_sq(cfg, a, v))(
-            angles, valid
-        )
+        W = radon_fan.colnorms_sq_nodes(cfg, angles, valid)
     else:
         # joseph/dense modes: exact 2-tap column norms for that operator.
         W = jax.vmap(lambda a, v: radon.colnorms_sq(cfg, a, v))(angles, valid)
@@ -254,6 +276,8 @@ def build_fft_tables(cfg: ProblemConfig, angles, valid, mode: str = "fft"):
     if geo.fan_beam:
         from dip_admm_tpu.ops import radon_fan
 
+        if mode == "fft_grouped":
+            return radon_fan.precompute_fan_grouped(geo, angles, valid, tdt)
         pre = lambda a, v: radon_fan.precompute_fan(geo, a, v, table_dtype=tdt)
     elif mode == "fft_mxu":
         from dip_admm_tpu.ops import radon_fft
@@ -263,6 +287,10 @@ def build_fft_tables(cfg: ProblemConfig, angles, valid, mode: str = "fft"):
         from dip_admm_tpu.ops import radon_fft
 
         return radon_fft.precompute_grouped(geo, angles, valid, tdt)
+    elif mode == "fft_shear":
+        from dip_admm_tpu.ops import radon_fft
+
+        return radon_fft.precompute_shear(geo, angles, valid, tdt)
     elif mode == "fft_pallas":
         from dip_admm_tpu.ops import radon_fft
 
@@ -288,9 +316,10 @@ def build_problem(
     """Assemble a :class:`Problem` from configuration.
 
     ``mode`` defaults to "dense" for N <= 128 (batched MXU matmuls on the
-    reference's representation) and "fft" above (gather-free matrix-free
-    projector). ``dense=True/False`` is a convenience alias for
-    mode="dense"/"joseph".
+    reference's representation) and, above that, the measured-fastest
+    gather-free projector: "fft_grouped" for parallel beam (branch-grouped
+    Pallas filter-sum) or "fft" for fan beam (rebinned tables).
+    ``dense=True/False`` is a convenience alias for mode="dense"/"joseph".
 
     ``per_node_phantoms=True`` reproduces the reference build-mode loader's
     behavior of measuring a *different* randomized phantom per node
@@ -305,8 +334,14 @@ def build_problem(
     if mode is None:
         if dense is not None:
             mode = "dense" if dense else "joseph"
+        elif N <= 128:
+            mode = "dense"
         else:
-            mode = "dense" if N <= 128 else "fft"
+            # Measured fastest large-N projector (RESULTS.md): the
+            # branch-grouped Pallas filter-sum, 3.29 ms/normal-op at
+            # 256^2/8 bf16 vs 7.2 ms for the plain XLA fft path. Fan beam
+            # runs through the rebinned fft tables.
+            mode = "fft" if geo.fan_beam else "fft_grouped"
     dtype = jnp.dtype(cfg.dtype)
 
     angles_np, valid_np, _ = radon.node_angles(geo)

@@ -1,0 +1,272 @@
+"""MXU-cast filter-sum: the shear contraction as real matmuls + phase FMA.
+
+The grouped filter-sum kernel (``filter_sum.py``) contracts the rfft'd image
+rows with a dense per-(angle, row, frequency) phase table
+
+    g[t, f] = sum_n r[n, f] * H[t, n, f],
+    H[t, n, f] = (1-fr) W^{f k(t,n)} + fr W^{f (k(t,n)+1)},  W = e^{2pi i/Np}
+
+whose [P, T, N, F] read + upcast + complex FMA binds the kernel on the VPU.
+This module exploits the affine shear structure: within a 128-row block,
+k(t, n) = floor(B_t n + C_t) spans at most nb+1 consecutive integers, so
+
+    k(t, n) = k0(t, blk) + delta(t, n),   delta in [0, nb]
+
+and the table factors EXACTLY (no approximation) into
+
+    H[t, n, f] = E[t, blk, f] * sum_d Phi[d, f] * Wt[t, blk, d, n]
+
+with a tiny shared DFT-twiddle table Phi[d, f] = W^{f d}, a per-(angle,
+block) phase E = W^{f k0}, and REAL tap weights Wt (the (1-fr, fr) pair
+scattered at rows delta, delta+1). The row contraction
+
+    S[t, d, f] = sum_n Wt[t, d, n] r[n, f]
+
+is then a true [tt*D2, nb] x [nb, F] matmul per (angle-block, row-block) —
+it runs on the MXU in the tables' storage dtype — and only the phase
+combine sum_d Phi * S (pure f32 FMA, no upcasts) remains on the VPU. Table
+HBM traffic drops ~11x (Wt [Tp, NB, D2, nb] bf16 + small phases vs the
+[Tp, N, F] complex pair).
+
+Entry points mirror ``filter_sum_grouped``/``_t`` (same slot-ordered
+spectra in/out, custom_vmap batch folding into the node axis); the exact
+transpose is again hand-written, not autodiff.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import custom_batching
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interp() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _fwd_kernel(rre_ref, rim_ref, wt_ref, sere_ref, seim_ref,
+                phire_ref, phiim_ref, gre_ref, gim_ref):
+    b = pl.program_id(1)
+    W = wt_ref[0, 0].astype(jnp.float32)  # [tt, D2, nb]
+    tt, D2, nb = W.shape
+    W2 = W.reshape(tt * D2, nb)
+    rre = rre_ref[0, 0]  # [nb, F] f32
+    rim = rim_ref[0, 0]
+    Sre = jnp.dot(W2, rre, preferred_element_type=jnp.float32)
+    Sim = jnp.dot(W2, rim, preferred_element_type=jnp.float32)
+    Sre = Sre.reshape(tt, D2, -1)
+    Sim = Sim.reshape(tt, D2, -1)
+    phre = phire_ref[...][None]  # [1, D2, F]
+    phim = phiim_ref[...][None]
+    Tre = jnp.sum(Sre * phre - Sim * phim, axis=1)  # [tt, F]
+    Tim = jnp.sum(Sre * phim + Sim * phre, axis=1)
+    ere = sere_ref[0, 0]  # [tt, F]
+    eim = seim_ref[0, 0]
+    gre = Tre * ere - Tim * eim
+    gim = Tre * eim + Tim * ere
+
+    @pl.when(b == 0)
+    def _():
+        gre_ref[0] = jnp.zeros_like(gre_ref[0])
+        gim_ref[0] = jnp.zeros_like(gim_ref[0])
+
+    gre_ref[0] += gre
+    gim_ref[0] += gim
+
+
+def _t_kernel(gre_ref, gim_ref, wt_ref, sere_ref, seim_ref,
+              phire_ref, phiim_ref, rre_ref, rim_ref):
+    # Pure map: each (angle-block, row-block) owns its r-cotangent block.
+    W = wt_ref[0, 0].astype(jnp.float32)  # [tt, D2, nb]
+    tt, D2, nb = W.shape
+    gre = gre_ref[0]  # [tt, F]
+    gim = gim_ref[0]
+    ere = sere_ref[0, 0]
+    eim = seim_ref[0, 0]
+    Tre = gre * ere + gim * eim  # conj(E) * g_bar
+    Tim = gim * ere - gre * eim
+    phre = phire_ref[...][None]
+    phim = phiim_ref[...][None]
+    Sre = Tre[:, None] * phre + Tim[:, None] * phim  # conj(Phi) broadcast
+    Sim = Tim[:, None] * phre - Tre[:, None] * phim  # [tt, D2, F]
+    W2t = W.reshape(tt * D2, nb).T  # [nb, tt*D2]
+    rre_ref[0, 0] = jnp.dot(
+        W2t, Sre.reshape(tt * D2, -1), preferred_element_type=jnp.float32
+    )
+    rim_ref[0, 0] = jnp.dot(
+        W2t, Sim.reshape(tt * D2, -1), preferred_element_type=jnp.float32
+    )
+
+
+def _specs(P, TB, tt, D2, nb, F):
+    """Block specs shared by both kernels. Wt is stored [P, NB, Tp, D2, nb]
+    and the phase table [P, NB, Tp, F] so every block's trailing two dims
+    are TPU-tile aligned ((D2, nb) / (tt, F))."""
+    r_spec = pl.BlockSpec(
+        (1, 1, nb, F), lambda q, b: (q // TB, q % TB, b, 0),
+        memory_space=pltpu.VMEM,
+    )
+    wt_spec = pl.BlockSpec(
+        (1, 1, tt, D2, nb),
+        lambda q, b: ((q // TB) % P, b, q % TB, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    se_spec = pl.BlockSpec(
+        (1, 1, tt, F), lambda q, b: ((q // TB) % P, b, q % TB, 0),
+        memory_space=pltpu.VMEM,
+    )
+    phi_spec = pl.BlockSpec(
+        (D2, F), lambda q, b: (0, 0), memory_space=pltpu.VMEM
+    )
+    g_spec = pl.BlockSpec(
+        (1, tt, F), lambda q, b: (q // TB, q % TB, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return r_spec, wt_spec, se_spec, phi_spec, g_spec
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fwd_pallas(rre_s, rim_s, Wt, SEre, SEim, Phire, Phiim, interpret=False):
+    P, NB, Tp, D2, nb = Wt.shape
+    PB, TB, N, F = rre_s.shape
+    tt = Tp // TB
+    grid = (PB * TB, NB)  # row blocks innermost: accumulation axis
+    r_spec, wt_spec, se_spec, phi_spec, g_spec = _specs(P, TB, tt, D2, nb, F)
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[r_spec, r_spec, wt_spec, se_spec, se_spec, phi_spec,
+                  phi_spec],
+        out_specs=(g_spec, g_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((PB, Tp, F), jnp.float32),
+            jax.ShapeDtypeStruct((PB, Tp, F), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * PB * Tp * D2 * nb * NB * F
+            + 12 * PB * Tp * NB * D2 * F,
+            bytes_accessed=Wt.size * Wt.dtype.itemsize * (PB // P)
+            + rre_s.size * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(rre_s, rim_s, Wt, SEre, SEim, Phire, Phiim)
+
+
+@functools.partial(jax.jit, static_argnames=("TB", "interpret"))
+def _t_pallas(gre_b, gim_b, Wt, SEre, SEim, Phire, Phiim, TB,
+              interpret=False):
+    P, NB, Tp, D2, nb = Wt.shape
+    PB = gre_b.shape[0]
+    F = gre_b.shape[-1]
+    tt = Tp // TB
+    grid = (PB * TB, NB)  # pure map: every cell owns its output block
+    r_spec, wt_spec, se_spec, phi_spec, g_spec = _specs(P, TB, tt, D2, nb, F)
+    return pl.pallas_call(
+        _t_kernel,
+        grid=grid,
+        in_specs=[g_spec, g_spec, wt_spec, se_spec, se_spec, phi_spec,
+                  phi_spec],
+        out_specs=(r_spec, r_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((PB, TB, NB * nb, F), jnp.float32),
+            jax.ShapeDtypeStruct((PB, TB, NB * nb, F), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * PB * Tp * D2 * nb * NB * F
+            + 12 * PB * Tp * NB * D2 * F,
+            bytes_accessed=Wt.size * Wt.dtype.itemsize * (PB // P)
+            + gre_b.size * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(gre_b, gim_b, Wt, SEre, SEim, Phire, Phiim)
+
+
+def _fold_batch(arrs, B):
+    return [a.reshape((B * a.shape[1],) + a.shape[2:]) for a in arrs]
+
+
+def _unfold_batch(arrs, B):
+    return tuple(a.reshape((B, a.shape[0] // B) + a.shape[1:]) for a in arrs)
+
+
+def _check_unbatched(in_batched, n_lin, name):
+    if not all(in_batched[:n_lin]) or any(in_batched[n_lin:]):
+        raise NotImplementedError(
+            f"{name}: vmap expects the spectra batched and the geometry "
+            f"tables unbatched (got in_batched={in_batched})"
+        )
+
+
+@custom_batching.custom_vmap
+def shear_sum(rre_s, rim_s, Wt, SEre, SEim, Phire, Phiim):
+    """MXU shear filter-sum: identical output contract to
+    :func:`filter_sum.filter_sum_grouped` (slot-ordered [P, Tp, F] f32
+    spectrum pair) from the factored tables (see module docstring)."""
+    return _fwd_pallas(
+        rre_s, rim_s, Wt, SEre, SEim, Phire, Phiim, interpret=_interp()
+    )
+
+
+@shear_sum.def_vmap
+def _shear_sum_vmap(axis_size, in_batched, rre_s, rim_s, *tabs):
+    _check_unbatched(in_batched, 2, "shear_sum")
+    rre_f, rim_f = _fold_batch([rre_s, rim_s], axis_size)
+    out = _fwd_pallas(rre_f, rim_f, *tabs, interpret=_interp())
+    return _unfold_batch(out, axis_size), (True, True)
+
+
+@custom_batching.custom_vmap
+def shear_sum_t(gre_b, gim_b, Wt, SEre, SEim, Phire, Phiim, blkmark):
+    """Exact transpose of :func:`shear_sum` w.r.t. the spectra (a pure map
+    over (angle-block, row-block) cells). ``blkmark`` is any array whose
+    second dim is TB (the plan's ``onehot`` table) — it only carries the
+    angle-block split."""
+    return _t_pallas(
+        gre_b, gim_b, Wt, SEre, SEim, Phire, Phiim, TB=blkmark.shape[1],
+        interpret=_interp(),
+    )
+
+
+@shear_sum_t.def_vmap
+def _shear_sum_t_vmap(axis_size, in_batched, gre_b, gim_b, *tabs_blk):
+    _check_unbatched(in_batched, 2, "shear_sum_t")
+    gre_f, gim_f = _fold_batch([gre_b, gim_b], axis_size)
+    tabs, blkmark = tabs_blk[:-1], tabs_blk[-1]
+    out = _t_pallas(
+        gre_f, gim_f, *tabs, TB=blkmark.shape[1], interpret=_interp()
+    )
+    return _unfold_batch(out, axis_size), (True, True)
+
+
+def shear_sum_reference(rre_s, rim_s, Wt, SEre, SEim, Phire, Phiim):
+    """Plain-jnp reference of the factored contraction (tests)."""
+    P, NB, Tp, D2, nb = Wt.shape
+    TB = rre_s.shape[1]
+    tt = Tp // TB
+    W32 = Wt.astype(jnp.float32)
+    r_re = rre_s.reshape(P, TB, NB, nb, -1)
+    r_im = rim_s.reshape(P, TB, NB, nb, -1)
+    # S[p, b, t, d, f] = sum_j Wt[p, b, t, d, j] r[p, blk(t), b, j, f]
+    Wb = W32.reshape(P, NB, TB, tt, D2, nb)
+    Sre = jnp.einsum("pbktdj,pkbjf->pbktdf", Wb, r_re)
+    Sim = jnp.einsum("pbktdj,pkbjf->pbktdf", Wb, r_im)
+    Tre = jnp.einsum("pbktdf,df->pbktf", Sre, Phire) - jnp.einsum(
+        "pbktdf,df->pbktf", Sim, Phiim
+    )
+    Tim = jnp.einsum("pbktdf,df->pbktf", Sre, Phiim) + jnp.einsum(
+        "pbktdf,df->pbktf", Sim, Phire
+    )
+    E_re = SEre.reshape(P, NB, TB, tt, -1)
+    E_im = SEim.reshape(P, NB, TB, tt, -1)
+    g_re = jnp.sum(Tre * E_re - Tim * E_im, axis=1)  # sum over row blocks
+    g_im = jnp.sum(Tre * E_im + Tim * E_re, axis=1)
+    return (
+        g_re.reshape(P, Tp, -1),
+        g_im.reshape(P, Tp, -1),
+    )

@@ -439,7 +439,7 @@ _FOLD_EVAL_MAX_BYTES = 4.0e9
 
 def precompute_grouped(
     cfg: GeometryConfig, angles, valid=None, table_dtype=jnp.float32,
-    fold_eval: bool | None = None,
+    fold_eval: bool | None = None, dets=None,
 ):
     """Branch-grouped merged tables for :func:`project_nodes_grouped`.
 
@@ -450,16 +450,19 @@ def precompute_grouped(
     arithmetic/VMEM traffic at identical HBM table bytes. Layout stays
     [P, Tp, N, F] (no MXU tiling, no frequency padding).
 
-    ``fold_eval`` (auto by size): additionally precompute the irfft +
+    ``fold_eval`` (default OFF): additionally precompute the irfft +
     hat-evaluation + branch-scale composition as one table pair
 
         WC_re[p, t, d, f] = s[p,t] * sum_v hat(p[p,t,d] - v) * Cre[p, f, v]
 
     (slot-ordered rows, slack zero) so the apply-time tail after the
-    filter-sum is a single einsum over f. Without folding, the hat weights
-    w [P,T,D,Np] are rebuilt and written+read through HBM on EVERY inner
-    iteration (XLA does not hoist them out of the ADMM while_loop); folded,
-    the same bytes are read-only — and the separate irfft matmul disappears.
+    filter-sum is a single einsum over f. MEASURED SLOWER end-to-end: the
+    in-process interleaved A/B at 256^2/8 (scripts/bench_e2e_modes.py)
+    runs 2.03 outer it/s unfolded vs 1.49 folded — the WC read (~0.4 GB
+    bf16 per apply direction) costs more inside the ADMM loop than the
+    unfolded irfft-matmul + hat-einsum tail, and the fold adds ~2 min of
+    table build. Kept as an option for memory-constrained geometries where
+    the materialized hat weights would not fit.
     """
     from dip_admm_tpu.ops.pallas import filter_mxu
 
@@ -468,7 +471,9 @@ def precompute_grouped(
         valid = jnp.ones((P, T), bool)
     merged = jax.jit(
         jax.vmap(
-            lambda a, v: precompute_merged(cfg, a, v, table_dtype=table_dtype)
+            lambda a, v: precompute_merged(
+                cfg, a, v, table_dtype=table_dtype, dets=dets
+            )
         )
     )(jnp.asarray(angles, jnp.float32), valid)
     use_c = np.asarray(merged["sel"])[:, :, 0] > 0.5
@@ -496,7 +501,9 @@ def precompute_grouped(
     tdt = jnp.dtype(table_dtype)
     wc_bytes = 2 * P * Tp * D * F * tdt.itemsize
     if fold_eval is None:
-        fold_eval = wc_bytes <= _FOLD_EVAL_MAX_BYTES
+        fold_eval = False  # measured slower end-to-end (see docstring)
+    if fold_eval and wc_bytes > _FOLD_EVAL_MAX_BYTES:
+        fold_eval = False
     if not fold_eval:
         return tables
 
@@ -592,6 +599,145 @@ def backproject_nodes_grouped(cfg: GeometryConfig, sinos, tables):
         g_im_bar = _pad_unpermute(g_im_bar, t)
     rre_s_bar, rim_s_bar = filter_sum_grouped_t(
         g_re_bar, g_im_bar, t["Hre_g"], t["Him_g"], t["onehot"]
+    )
+    rre2_bar = _ein32("ptnf,pto->ponf", rre_s_bar, t["onehot"])
+    rim2_bar = _ein32("ptnf,pto->ponf", rim_s_bar, t["onehot"])
+    return _plane_spectra_t(rre2_bar, rim2_bar, t, sinos.dtype)
+
+
+def precompute_shear(
+    cfg: GeometryConfig, angles, valid=None, table_dtype=jnp.float32,
+    nb: int = 128,
+):
+    """Factored shear tables for :func:`project_nodes_shear` (the MXU-cast
+    filter-sum, ``ops.pallas.shear_sum``).
+
+    Exploits the affine shear structure k(t, n) = floor(B_t n + C_t + d_t):
+    within an ``nb``-row block the integer shifts span <= nb+1 consecutive
+    values, so the dense [T, N, F] phase table factors EXACTLY into real
+    tap weights Wt [P, NB, Tp, D2, nb] (two nonzeros per row column, stored
+    dense for the MXU), a per-(angle, block) base phase SE [P, NB, Tp, F],
+    and one tiny shared twiddle table Phi [D2, F] — ~11x less table HBM
+    than the merged H pair at 256^2. Angle rows are slot-ordered with tt=8
+    blocks (``filter_mxu.plan_branch_groups``) so each block contracts one
+    spectrum plane and the kernel's [tt*D2, F] matmul temp fits VMEM.
+    """
+    from dip_admm_tpu.ops.pallas import filter_mxu
+
+    P, T = angles.shape
+    if valid is None:
+        valid = jnp.ones((P, T), bool)
+    N, D = cfg.N, cfg.n_det
+    Np = _padded_len(N, D)
+    F = Np // 2 + 1
+    nb = min(nb, N)
+    assert N % nb == 0, (N, nb)
+    NB = N // nb
+    D2 = -(-(nb + 2) // 16) * 16
+
+    a32 = jnp.asarray(angles, jnp.float32)
+
+    def one(a):
+        (Pr, Br, Cr, sr), (Pc, Bc, Cc, sc), use_r = _coeffs(cfg, a)
+        a_idx = jnp.arange(N, dtype=jnp.float32)
+        d_r = jnp.floor(jnp.min(Pr, axis=1))
+        d_c = jnp.floor(jnp.min(Pc, axis=1))
+        sig_r = Br[:, None] * a_idx + Cr[:, None] + d_r[:, None]
+        sig_c = Bc[:, None] * a_idx + Cc[:, None] + d_c[:, None]
+        sigma = jnp.where(use_r[:, None], sig_r, sig_c)  # [T, N]
+        p = jnp.where(use_r[:, None], Pr - d_r[:, None], Pc - d_c[:, None])
+        s = jnp.where(use_r, sr, sc)
+        return sigma, p, s, use_r
+
+    sigma, p, s, use_r = jax.jit(jax.vmap(one))(a32)
+    plan = filter_mxu.plan_branch_groups(
+        ~np.asarray(use_r), np.asarray(valid), tt_candidates=(8,)
+    )
+    Tp = int(plan["Tp"])
+
+    @jax.jit  # eager gathers/indexing are unimplemented on the axon backend
+    def build_tables(sigma, src):
+        keep = (src >= 0).astype(jnp.float32)
+        srcc = jnp.clip(src, 0)
+        sigma_s = jnp.take_along_axis(sigma, srcc[:, :, None], axis=1)
+        sigma_s = jnp.where(keep[:, :, None] > 0, sigma_s, 0.0)  # [P,Tp,N]
+        k = jnp.floor(sigma_s).astype(jnp.int32)  # [P, Tp, N]
+        fr = (sigma_s - jnp.floor(sigma_s)).astype(jnp.float32)
+        kb = k.reshape(P, Tp, NB, nb)
+        frb = fr.reshape(P, Tp, NB, nb)
+        k0 = jnp.min(kb, axis=-1)  # [P, Tp, NB]
+        delta = kb - k0[..., None]  # [P, Tp, NB, nb] in [0, nb]
+        d_rng = jnp.arange(D2, dtype=jnp.int32)
+        w_tap = (
+            (delta[..., None, :] == d_rng[:, None])
+            * (1.0 - frb[..., None, :])
+            + (delta[..., None, :] + 1 == d_rng[:, None])
+            * frb[..., None, :]
+        )  # [P, Tp, NB, D2, nb]
+        w_tap = w_tap * keep[:, :, None, None, None]
+        Wt = w_tap.transpose(0, 2, 1, 3, 4).astype(table_dtype)
+
+        f_idx = jnp.arange(F, dtype=jnp.float32)
+        ang = (2.0 * jnp.pi / Np) * f_idx
+        ph = ang[None, None, None, :] * k0.astype(jnp.float32)[..., None]
+        SEre = jnp.cos(ph).transpose(0, 2, 1, 3)  # [P, NB, Tp, F]
+        SEim = jnp.sin(ph).transpose(0, 2, 1, 3)
+        ph_d = ang[None, :] * jnp.arange(D2, dtype=jnp.float32)[:, None]
+        Phire = jnp.cos(ph_d)  # [D2, F]
+        Phiim = jnp.sin(ph_d)
+        return Wt, SEre, SEim, Phire, Phiim
+
+    Wt, SEre, SEim, Phire, Phiim = build_tables(
+        sigma, jnp.asarray(plan["src_slot"])
+    )
+    Ere, Eim, Cre, Cim = jax.jit(_dft_mats, static_argnums=(0, 1))(N, Np)
+    rep = jax.jit(lambda x: jnp.broadcast_to(x[None], (P,) + x.shape))
+    return {
+        "Wt": Wt,
+        "SEre": SEre, "SEim": SEim,
+        "Phire": Phire, "Phiim": Phiim,
+        "onehot": jnp.asarray(plan["onehot"]),
+        "posfull": jnp.asarray(plan["posfull"]),
+        "invposfull": jnp.asarray(plan["invposfull"]),
+        "p": p, "s": s * valid.astype(s.dtype),
+        "Ere": rep(Ere), "Eim": rep(Eim),
+        "Cre": rep(Cre), "Cim": rep(Cim),
+    }
+
+
+def project_nodes_shear(cfg: GeometryConfig, imgs, tables):
+    """Batched forward projection [P, N, N] -> [P, T, D] on factored shear
+    tables (:func:`precompute_shear`): DFT matmuls + the MXU shear-sum
+    kernel + slot unpermute + hat evaluation. Parallel beam only."""
+    if cfg.fan_beam:
+        raise NotImplementedError("fft_shear supports parallel beam only")
+    from dip_admm_tpu.ops.pallas.filter_mxu import permute_rows
+    from dip_admm_tpu.ops.pallas.shear_sum import shear_sum
+
+    t = tables
+    T = t["p"].shape[-2]
+    rre2, rim2 = _plane_spectra(imgs, t)
+    rre_s = _ein32("ponf,pto->ptnf", rre2, t["onehot"])
+    rim_s = _ein32("ponf,pto->ptnf", rim2, t["onehot"])
+    g_re, g_im = shear_sum(
+        rre_s, rim_s, t["Wt"], t["SEre"], t["SEim"], t["Phire"], t["Phiim"]
+    )
+    g_re = permute_rows(g_re, t["posfull"])[:, :T]
+    g_im = permute_rows(g_im, t["posfull"])[:, :T]
+    return _eval_tail(g_re, g_im, t, imgs.dtype)
+
+
+def backproject_nodes_shear(cfg: GeometryConfig, sinos, tables):
+    """Exact adjoint of :func:`project_nodes_shear`, composed by hand."""
+    from dip_admm_tpu.ops.pallas.shear_sum import shear_sum_t
+
+    t = tables
+    g_re_bar, g_im_bar = _eval_tail_t(sinos, t)
+    g_re_bar = _pad_unpermute(g_re_bar, t)
+    g_im_bar = _pad_unpermute(g_im_bar, t)
+    rre_s_bar, rim_s_bar = shear_sum_t(
+        g_re_bar, g_im_bar, t["Wt"], t["SEre"], t["SEim"],
+        t["Phire"], t["Phiim"], t["onehot"],
     )
     rre2_bar = _ein32("ptnf,pto->ponf", rre_s_bar, t["onehot"])
     rim2_bar = _ein32("ptnf,pto->ponf", rim_s_bar, t["onehot"])

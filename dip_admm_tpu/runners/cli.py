@@ -68,13 +68,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--matrix-free", action="store_true",
                    help="force the matrix-free projector (mode=fft)")
     p.add_argument("--mode",
-                   choices=["auto", "dense", "joseph", "fft", "fft_pallas", "fft_mxu",
-                            "fft_grouped"],
+                   choices=["auto", "dense", "joseph", "fft", "fft_pallas",
+                            "fft_mxu", "fft_grouped", "fft_shear"],
                    default="auto",
                    help="measurement-operator implementation (auto: dense "
-                        "for N<=128, fft above)")
-    p.add_argument("--use-pallas", action="store_true",
-                   help="fused Pallas edge-consensus kernel (TPU)")
+                        "for N<=128, fft_grouped above; fft for fan beam)")
+    p.add_argument("--use-pallas", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="fused Pallas edge-consensus kernel (default: auto — "
+                        "on when running on TPU with >= 8 nodes)")
     p.add_argument("--fft-table-dtype", choices=["float32", "bfloat16"],
                    default="float32",
                    help="storage dtype of the fft-projector phase tables")
@@ -144,7 +146,7 @@ def config_from_args(args) -> "ProblemConfig":
             eps_pri=args.eps_pri, eps_dual=args.eps_dual,
             z_fusion=args.z_fusion,
             relax_alpha=relax_alpha,
-            use_pallas=getattr(args, "use_pallas", False),
+            use_pallas=getattr(args, "use_pallas", None),
             node=NodeSolverConfig(
                 max_inner=args.max_inner,
                 algorithm=algorithm,

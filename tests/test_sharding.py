@@ -163,3 +163,22 @@ def test_sharded_matches_single_device_fft_pallas():
     np.testing.assert_allclose(
         np.asarray(r8.x), np.asarray(r1.x), rtol=1e-4, atol=1e-5
     )
+
+
+def test_sharded_fft_grouped_parity():
+    """The auto-default large-N projector (fft_grouped) through the shard_map
+    driver: grouped tables (incl. the slot-plan index arrays) shard on the
+    node axis and reproduce the single-device run."""
+    problem = make_problem(P=4)
+    grp = loader.build_problem(problem.cfg, mode="fft_grouped")
+    m = meshlib.make_mesh(4)
+    got = admm_sharded.run_admm_sharded(grp, mesh=m)
+    ref = admm.run_admm(grp)
+    assert int(got.n_iters) == int(ref.n_iters)
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.history["primal"]),
+        np.asarray(ref.history["primal"]), rtol=2e-3, atol=1e-5,
+    )
