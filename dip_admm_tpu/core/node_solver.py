@@ -88,6 +88,11 @@ def solve_nodes(
 ) -> NodeSolveResult:
     P = b.shape[0]
     dtype = state.x.dtype
+    # lam_tv may be a scalar or a per-node [P] vector (GraphProblem nodes
+    # with different TV weights); normalize to broadcastable views.
+    lam_vec = jnp.broadcast_to(jnp.asarray(lam_tv, dtype), (P,))
+    lam_col = lam_vec[:, None]
+    lam_im = lam_vec[:, None, None]
 
     def grad_f(x):  # [P, n] -> [P, n]
         return adj(fwd(x) - b) + rho * (D_vec * x - b_cons)
@@ -95,7 +100,7 @@ def solve_nodes(
     def g_residual(x):
         """Reference acceptance residual (``block_6 ver2:134-149``)."""
         sub = tv.tv_subgradient(x.reshape(P, N, N)).reshape(P, -1)
-        return grad_f(x) + lam_tv * sub
+        return grad_f(x) + lam_col * sub
 
     if cfg.algorithm == "cv":
         # Balanced steps: sigma*||K||^2 = L/2 => tau = 0.99/L, per node.
@@ -112,7 +117,7 @@ def solve_nodes(
             xb = (2.0 * x_new - x).reshape(P, N, N)
             gx, gy = tv.grad(xb)
             ux, uy = tv.project_l2_ball(
-                ux + sig_im * gx, uy + sig_im * gy, lam_tv
+                ux + sig_im * gx, uy + sig_im * gy, lam_im
             )
             return NodeState(x_new, ux, uy, ua)
 
@@ -138,7 +143,7 @@ def solve_nodes(
             xb = (2.0 * x_new - x).reshape(P, N, N)
             gx, gy = tv.grad(xb)
             ux, uy = tv.project_l2_ball(
-                ux + sig_im * gx, uy + sig_im * gy, lam_tv
+                ux + sig_im * gx, uy + sig_im * gy, lam_im
             )
             return NodeState(x_new, ux, uy, ua)
 
@@ -167,7 +172,7 @@ def solve_nodes(
             v = ua + sig_a * fwd(xb)
             ua = (v - sig_a * b) / (1.0 + sig_a)  # prox of 0.5||.-b||^2 dual
             gx, gy = tv.grad(xb.reshape(P, N, N))
-            ux, uy = tv.project_l2_ball(ux + 0.5 * gx, uy + 0.5 * gy, lam_tv)
+            ux, uy = tv.project_l2_ball(ux + 0.5 * gx, uy + 0.5 * gy, lam_im)
             return NodeState(x_new, ux, uy, ua)
 
     else:
@@ -212,7 +217,7 @@ def solve_nodes(
 
     r = fwd(st.x) - b
     data_term = 0.5 * jnp.sum(r * r, axis=1)
-    tv_term = lam_tv * tv.tv_value(st.x.reshape(P, N, N))
+    tv_term = lam_vec * tv.tv_value(st.x.reshape(P, N, N))
     quad = 0.5 * rho * (
         jnp.sum(D_vec * st.x**2, axis=1)
         - 2.0 * jnp.sum(b_cons * st.x, axis=1)

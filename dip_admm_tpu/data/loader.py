@@ -317,9 +317,9 @@ def build_problem(
 
     ``mode`` defaults to "dense" for N <= 128 (batched MXU matmuls on the
     reference's representation) and, above that, the measured-fastest
-    gather-free projector: "fft_grouped" for parallel beam (branch-grouped
-    Pallas filter-sum) or "fft" for fan beam (rebinned tables).
-    ``dense=True/False`` is a convenience alias for mode="dense"/"joseph".
+    gather-free projector: "fft_shear" for parallel beam (MXU-cast factored
+    shear kernel) or "fft_grouped" for fan beam (grouped rebinned-parallel
+    tables). ``dense=True/False`` is an alias for mode="dense"/"joseph".
 
     ``per_node_phantoms=True`` reproduces the reference build-mode loader's
     behavior of measuring a *different* randomized phantom per node
@@ -337,11 +337,12 @@ def build_problem(
         elif N <= 128:
             mode = "dense"
         else:
-            # Measured fastest large-N projector (RESULTS.md): the
-            # branch-grouped Pallas filter-sum, 3.29 ms/normal-op at
-            # 256^2/8 bf16 vs 7.2 ms for the plain XLA fft path. Fan beam
-            # runs through the rebinned fft tables.
-            mode = "fft" if geo.fan_beam else "fft_grouped"
+            # Measured fastest large-N projector (RESULTS.md round-2 A/B):
+            # the MXU-cast factored shear kernel, 2.36 outer it/s end-to-end
+            # at 256^2/8 vs 2.12 (fft_grouped) / 1.68 (fft_pallas) / ~0.73
+            # (plain fft) — and its tables build in seconds (no H tensor).
+            # Fan beam runs through the grouped rebinned-parallel tables.
+            mode = "fft_grouped" if geo.fan_beam else "fft_shear"
     dtype = jnp.dtype(cfg.dtype)
 
     angles_np, valid_np, _ = radon.node_angles(geo)

@@ -630,8 +630,14 @@ def precompute_shear(
     N, D = cfg.N, cfg.n_det
     Np = _padded_len(N, D)
     F = Np // 2 + 1
-    nb = min(nb, N)
-    assert N % nb == 0, (N, nb)
+    # Largest row block <= nb that divides N and is a multiple of 8 (full-N
+    # fallback for sizes with no aligned divisor, e.g. N = 8 * prime).
+    want = min(nb, N)
+    nb = N
+    for cand in range(want, 7, -8):
+        if N % cand == 0 and cand % 8 == 0:
+            nb = cand
+            break
     NB = N // nb
     D2 = -(-(nb + 2) // 16) * 16
 

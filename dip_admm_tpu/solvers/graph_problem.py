@@ -32,7 +32,8 @@ Example
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+import functools
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -44,33 +45,48 @@ from dip_admm_tpu.core import node_solver
 
 @dataclasses.dataclass
 class _Node:
-    A: np.ndarray  # [m_i, n]
+    A: Optional[np.ndarray]  # [m_i, n] (None for matrix-free problems)
     b: np.ndarray  # [m_i]
     diag_quad: Optional[np.ndarray]  # [n] -> + 0.5 x^T diag(w) x
     lam_tv: float
 
 
 class GraphProblem:
-    """Build a graph optimization problem node-by-node, edge-by-edge."""
+    """Build a graph optimization problem node-by-node, edge-by-edge.
 
-    def __init__(self, n_side: int):
+    ``operators=(fwd, adj, opnorms)`` switches the node data terms to a
+    batched matrix-free measurement operator family (fwd: [P, n] -> [P, m],
+    adj its exact adjoint, opnorms [P] bounds on ||A_i^T A_i||) — e.g. the
+    radon projector family from ``data.loader.make_node_ops`` — in which
+    case ``add_node`` takes only the per-node data ``b`` (+ diag/TV terms).
+    """
+
+    def __init__(self, n_side: int, operators=None):
         self.N = n_side
         self.n = n_side * n_side
         self._nodes: list[_Node] = []
         self._edges: dict[tuple[int, int], np.ndarray] = {}
+        self._ops = operators
 
     def add_node(
         self,
-        A: np.ndarray,
-        b: np.ndarray,
+        A: Optional[np.ndarray] = None,
+        b: np.ndarray = None,
         diag_quad: Optional[np.ndarray] = None,
         lam_tv: float = 0.0,
     ) -> int:
         """Node objective: 0.5||A x - b||^2 + 0.5 x^T diag(w) x + lam_tv TV(x)
         (the reference demo's node objective at ``Decentral_WQ_admm.py:37-45``,
-        extended with the TV option)."""
-        assert A.shape[1] == self.n and A.shape[0] == b.shape[0]
-        self._nodes.append(_Node(np.asarray(A), np.asarray(b), diag_quad, lam_tv))
+        extended with the TV option and per-node TV weights). With
+        ``operators=`` set on the problem, omit ``A``."""
+        assert b is not None
+        if self._ops is None:
+            assert A is not None and A.shape[1] == self.n
+            assert A.shape[0] == b.shape[0]
+            A = np.asarray(A)
+        else:
+            assert A is None, "matrix-free GraphProblem: nodes take only b"
+        self._nodes.append(_Node(A, np.asarray(b), diag_quad, lam_tv))
         return len(self._nodes) - 1
 
     def add_edge(self, i: int, j: int, q_diag: np.ndarray | float = 1.0) -> None:
@@ -94,21 +110,16 @@ class GraphProblem:
         P = len(self._nodes)
         if P == 0:
             raise ValueError("no nodes declared")
-        n, N = self.n, self.N
-        dtype = jnp.float32
+        n = self.n
         inner = inner or NodeSolverConfig(max_inner=200, check_every=25)
 
-        m_max = max(nd.A.shape[0] for nd in self._nodes)
-        A = np.zeros((P, m_max, n), np.float32)
+        m_max = max(nd.b.shape[0] for nd in self._nodes)
         b = np.zeros((P, m_max), np.float32)
         diag = np.zeros((P, n), np.float32)
-        lam_tvs = {nd.lam_tv for nd in self._nodes}
-        if len(lam_tvs) > 1:
-            raise ValueError("per-node lam_tv must be uniform in this version")
-        lam_tv = lam_tvs.pop()
+        lam = np.zeros((P,), np.float32)
         for i, nd in enumerate(self._nodes):
-            A[i, : nd.A.shape[0]] = nd.A
-            b[i, : nd.A.shape[0]] = nd.b
+            b[i, : nd.b.shape[0]] = nd.b
+            lam[i] = nd.lam_tv
             if nd.diag_quad is not None:
                 diag[i] = nd.diag_quad
 
@@ -118,93 +129,122 @@ class GraphProblem:
             Q[i, j] = Q[j, i] = q
             adjm[i, j] = adjm[j, i] = 1.0
 
-        A_j = jnp.asarray(A)
-        diag_j = jnp.asarray(diag)
-
-        # Node smooth part: 0.5||Ax-b||^2 + 0.5 x^T diag x. The diagonal
-        # quadratic folds into the solver's D-term alongside the consensus
-        # coupling: grad = A^T(Ax-b) + rho*(D x - b_cons) + diag*x, realized
-        # by augmenting the measurement operator with sqrt(diag) rows? —
-        # simpler: fold diag into fwd/adj as an extra stacked block.
-        sq = jnp.sqrt(diag_j)  # [P, n]
-
-        def fwd(x):
-            meas = jnp.einsum("pmn,pn->pm", A_j, x)
-            return jnp.concatenate([meas, sq * x], axis=1)
-
-        def adj(r):
-            r1, r2 = r[:, :m_max], r[:, m_max:]
-            return jnp.einsum("pmn,pm->pn", A_j, r1) + sq * r2
-
-        b_full = jnp.concatenate([jnp.asarray(b), jnp.zeros((P, n))], axis=1)
-
-        # Lipschitz bound for the node solves: ||A^T A|| + max(diag) +
-        # rho * degree (the copy constraints add rho*I per incident edge).
-        gram_norm = jnp.asarray(
-            [np.linalg.norm(Ai.T @ Ai, 2) for Ai in A], dtype=dtype
-        ) + jnp.max(diag_j, axis=1)
-        adj_j = jnp.asarray(adjm)
-        Q_j = jnp.asarray(Q)
-        degree = jnp.sum(adj_j, axis=1)
-        L = gram_norm + rho * degree
-
-        # Node penalty metric: identity per incident edge (copy constraints
-        # x_i = z_ij,i), realized through the D/b_cons interface of the
-        # batched node solver.
-        D_vec = jnp.broadcast_to(degree[:, None], (P, n))
-
-        # Soft-fusion damping factor per (i, j, pixel).
-        damp = rho / (2.0 * Q_j + rho) * adj_j[:, :, None]
-
-        inner_cfg = inner
-        am = adj_j[:, :, None]
-
-        def body(carry):
-            st, Z, Y, k, _, h = carry
-            V = (Z - Y) * am
-            b_cons = jnp.sum(V, axis=1)
-            c_quad = jnp.sum(V * V, axis=(1, 2))
-            eps_k = jnp.asarray(1e-3, dtype) / (k.astype(dtype) + 1.0)
-            res = node_solver.solve_nodes(
-                fwd, adj, b_full, D_vec, b_cons, c_quad,
-                lam_tv, rho, L, st, eps_k, inner_cfg, N,
+        if self._ops is None:
+            A = np.zeros((P, m_max, n), np.float32)
+            for i, nd in enumerate(self._nodes):
+                A[i, : nd.A.shape[0]] = nd.A
+            gram_norm = np.asarray(
+                [np.linalg.norm(Ai.T @ Ai, 2) for Ai in A], np.float32
             )
-            X = res.state.x
-            A_prop = X[:, None, :] + Y
-            A_T = jnp.swapaxes(A_prop, 0, 1)
-            mid = 0.5 * (A_prop + A_T)
-            Zn = (mid + 0.5 * damp * (A_prop - A_T)) * am
-            Yn = (Y + X[:, None, :] - Zn) * am
-            dpri = (X[:, None, :] - Zn) * am
-            r2 = jnp.sum(dpri * dpri)
-            dz = (Zn - Z) * am
-            s2 = rho**2 * jnp.sum(dz * dz)
-            h = {
-                "primal": h["primal"].at[k].set(jnp.sqrt(r2)),
-                "dual": h["dual"].at[k].set(jnp.sqrt(s2)),
-                "objective": h["objective"].at[k].set(
-                    jnp.sum(res.objective)
-                ),
-            }
-            stop = (jnp.sqrt(r2) < eps_pri) & (jnp.sqrt(s2) < eps_dual)
-            return res.state, Zn, Yn, k + 1, stop, h
+            A_arg, mf_ops = jnp.asarray(A), None
+        else:
+            fwd_mf, adj_mf, opn = self._ops
+            gram_norm = np.asarray(opn, np.float32)
+            A_arg, mf_ops = jnp.zeros((P, 1, 1), jnp.float32), (fwd_mf, adj_mf)
 
-        def cond(carry):
-            _, _, _, k, stop, _ = carry
-            return (k < max_iters) & ~stop
-
-        st0 = node_solver.init_state(P, N, b_full.shape[1], dtype)
-        Z0 = jnp.zeros((P, P, n), dtype)
-        Y0 = jnp.zeros((P, P, n), dtype)
-        h0 = {
-            "primal": jnp.full((max_iters,), jnp.nan, dtype),
-            "dual": jnp.full((max_iters,), jnp.nan, dtype),
-            "objective": jnp.full((max_iters,), jnp.nan, dtype),
-        }
-        run = jax.jit(
-            lambda: jax.lax.while_loop(
-                cond, body, (st0, Z0, Y0, jnp.int32(0), jnp.asarray(False), h0)
-            )
+        st, hist = _solve_jit(
+            A_arg, mf_ops, jnp.asarray(b), jnp.asarray(diag),
+            jnp.asarray(Q), jnp.asarray(adjm), jnp.asarray(lam),
+            jnp.asarray(gram_norm), rho, eps_pri, eps_dual,
+            N=self.N, max_iters=max_iters, inner_cfg=inner,
         )
-        st, Z, Y, k, stop, hist = run()
         return st.x, {kk: np.asarray(v) for kk, v in hist.items()}
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mf_ops", "N", "max_iters", "inner_cfg")
+)
+def _solve_jit(
+    A, mf_ops, b, diag, Q, adjm, lam, gram_norm, rho, eps_pri, eps_dual,
+    N: int, max_iters: int, inner_cfg: NodeSolverConfig,
+):
+    """Jitted soft-edge consensus ADMM. All device data enters as arguments
+    (never closed over — closures bake multi-GB constants into the lowered
+    module); one compilation is shared across ``solve`` calls of the same
+    static shape/config. ``mf_ops`` (hashable static): optional batched
+    matrix-free (fwd, adj) replacing the dense stack ``A``."""
+    P, n = b.shape[0], diag.shape[1]
+    dtype = jnp.float32
+    m_max = b.shape[1]
+
+    # Node smooth part: 0.5||Ax-b||^2 + 0.5 x^T diag x — the diagonal
+    # quadratic rides along as sqrt(diag) rows stacked under the
+    # measurement operator, so one fwd/adj pair serves the whole term.
+    sq = jnp.sqrt(diag)  # [P, n]
+    base_fwd = (
+        (lambda x: jnp.einsum("pmn,pn->pm", A, x))
+        if mf_ops is None
+        else mf_ops[0]
+    )
+    base_adj = (
+        (lambda r: jnp.einsum("pmn,pm->pn", A, r))
+        if mf_ops is None
+        else mf_ops[1]
+    )
+
+    def fwd(x):
+        return jnp.concatenate([base_fwd(x), sq * x], axis=1)
+
+    def adj(r):
+        return base_adj(r[:, :m_max]) + sq * r[:, m_max:]
+
+    b_full = jnp.concatenate([b, jnp.zeros((P, n), dtype)], axis=1)
+
+    # Lipschitz bound: ||A^T A|| + max(diag) + rho * degree (the copy
+    # constraints add rho*I per incident edge).
+    degree = jnp.sum(adjm, axis=1)
+    L = gram_norm + jnp.max(diag, axis=1) + rho * degree
+
+    # Node penalty metric: identity per incident edge (copy constraints
+    # x_i = z_ij,i), realized through the D/b_cons interface of the
+    # batched node solver.
+    D_vec = jnp.broadcast_to(degree[:, None], (P, n))
+
+    # Soft-fusion damping factor per (i, j, pixel).
+    damp = rho / (2.0 * Q + rho) * adjm[:, :, None]
+    am = adjm[:, :, None]
+
+    def body(carry):
+        st, Z, Y, k, _, h = carry
+        V = (Z - Y) * am
+        b_cons = jnp.sum(V, axis=1)
+        c_quad = jnp.sum(V * V, axis=(1, 2))
+        eps_k = jnp.asarray(1e-3, dtype) / (k.astype(dtype) + 1.0)
+        res = node_solver.solve_nodes(
+            fwd, adj, b_full, D_vec, b_cons, c_quad,
+            lam, rho, L, st, eps_k, inner_cfg, N,
+        )
+        X = res.state.x
+        A_prop = X[:, None, :] + Y
+        A_T = jnp.swapaxes(A_prop, 0, 1)
+        mid = 0.5 * (A_prop + A_T)
+        Zn = (mid + 0.5 * damp * (A_prop - A_T)) * am
+        Yn = (Y + X[:, None, :] - Zn) * am
+        dpri = (X[:, None, :] - Zn) * am
+        r2 = jnp.sum(dpri * dpri)
+        dz = (Zn - Z) * am
+        s2 = rho**2 * jnp.sum(dz * dz)
+        h = {
+            "primal": h["primal"].at[k].set(jnp.sqrt(r2)),
+            "dual": h["dual"].at[k].set(jnp.sqrt(s2)),
+            "objective": h["objective"].at[k].set(jnp.sum(res.objective)),
+        }
+        stop = (jnp.sqrt(r2) < eps_pri) & (jnp.sqrt(s2) < eps_dual)
+        return res.state, Zn, Yn, k + 1, stop, h
+
+    def cond(carry):
+        _, _, _, k, stop, _ = carry
+        return (k < max_iters) & ~stop
+
+    st0 = node_solver.init_state(P, N, b_full.shape[1], dtype)
+    Z0 = jnp.zeros((P, P, n), dtype)
+    Y0 = jnp.zeros((P, P, n), dtype)
+    h0 = {
+        "primal": jnp.full((max_iters,), jnp.nan, dtype),
+        "dual": jnp.full((max_iters,), jnp.nan, dtype),
+        "objective": jnp.full((max_iters,), jnp.nan, dtype),
+    }
+    st, Z, Y, k, stop, hist = jax.lax.while_loop(
+        cond, body, (st0, Z0, Y0, jnp.int32(0), jnp.asarray(False), h0)
+    )
+    return st, hist

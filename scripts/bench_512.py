@@ -1,0 +1,89 @@
+"""512^2 single-chip datapoints (BASELINE config-5 scale; VERDICT r1 #8).
+
+Measures end-to-end outer it/s and ms/inner for 512^2 problems at 8 and 16
+nodes in the current default projector mode, plus table-memory accounting.
+
+Usage: PYTHONPATH=. python scripts/bench_512.py [--nodes 8,16] [--outer 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+
+
+def gib(tree):
+    import jax
+
+    return round(
+        sum(
+            x.size * x.dtype.itemsize
+            for x in jax.tree.leaves(tree)
+            if hasattr(x, "size")
+        )
+        / 2**30,
+        3,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", default="8,16")
+    ap.add_argument("--outer", type=int, default=3)
+    ap.add_argument("--inner", type=int, default=200)
+    ap.add_argument("--N", type=int, default=512)
+    ap.add_argument("--mode", default=None)
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from dip_admm_tpu.config import (
+        AdmmConfig, GeometryConfig, GraphConfig, NodeSolverConfig,
+        ProblemConfig,
+    )
+    from dip_admm_tpu.core import admm
+    from dip_admm_tpu.data import loader
+
+    for P in [int(p) for p in args.nodes.split(",")]:
+        cfg = ProblemConfig(
+            geometry=GeometryConfig(N=args.N, num_nodes=P),
+            graph=GraphConfig(strategy="knn", k=2, seed=123),
+            admm=AdmmConfig(
+                lam_tv=0.02, rho=2.0, max_iters=args.outer,
+                eps_pri=0.0, eps_dual=0.0,
+                node=NodeSolverConfig(
+                    max_inner=args.inner, check_every=25, plateau_tol=0.0
+                ),
+            ),
+            noise_level=0.005, phantom="shepp", fft_table_dtype="bfloat16",
+        )
+        t0 = time.perf_counter()
+        problem = loader.build_problem(cfg, mode=args.mode)
+        problem.b.block_until_ready()
+        build_s = time.perf_counter() - t0
+        tbl_gib = gib(problem.fft_tables)
+        warm = dataclasses.replace(cfg.admm, max_iters=1)
+        t0 = time.perf_counter()
+        admm.run_admm(problem, warm).x.block_until_ready()
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res = admm.run_admm(problem)
+        float(np.asarray(res.history["primal"])[args.outer - 1])
+        dt = time.perf_counter() - t0
+        inner = float(np.nanmean(np.asarray(res.history["inner_iters"])))
+        print(json.dumps({
+            "N": args.N, "nodes": P, "mode": problem.mode,
+            "tables_gib": tbl_gib, "build_s": round(build_s, 1),
+            "compile_s": round(compile_s, 1),
+            "outer_it_per_s": round(args.outer / dt, 4),
+            "ms_per_inner": round(1000 * dt / (args.outer * inner), 2),
+            "final_primal": round(
+                float(np.asarray(res.history["primal"])[args.outer - 1]), 2
+            ),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -88,6 +88,7 @@ def main():
               f"{time.perf_counter()-t0:.1f}s", flush=True)
 
     best = {k: float("inf") for k in cfgs}
+    quality = {}
     for _ in range(args.repeats):
         for key, cfg in cfgs.items():
             mode, up = key
@@ -95,11 +96,24 @@ def main():
             res = admm.run_admm(probs[mode], cfg)
             float(np.asarray(res.history["primal"])[args.outer - 1])
             best[key] = min(best[key], time.perf_counter() - t0)
+            h = res.history
+            quality[key] = {
+                "final_primal": round(
+                    float(np.asarray(h["primal"])[args.outer - 1]), 2
+                ),
+                "final_img_mse": round(
+                    float(np.asarray(h["img_mse_total"])[args.outer - 1]), 4
+                ),
+                "mean_inner": round(
+                    float(np.nanmean(np.asarray(h["inner_iters"]))), 1
+                ),
+            }
 
     rows = [
         {"mode": mode, "use_pallas": up,
          "outer_it_per_s": round(args.outer / best[(mode, up)], 3),
-         "s_per_outer": round(best[(mode, up)] / args.outer, 4)}
+         "s_per_outer": round(best[(mode, up)] / args.outer, 4),
+         **quality[(mode, up)]}
         for mode, up in cfgs
     ]
     rows.sort(key=lambda r: -r["outer_it_per_s"])

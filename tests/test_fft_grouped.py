@@ -154,11 +154,11 @@ def test_scenario_batching_matches_per_run():
         )
 
 
-def test_auto_mode_defaults_to_grouped_above_128():
+def test_auto_mode_defaults_to_fastest_above_128():
     """The loader's auto choice must put default-mode users on the measured
-    fastest projector (fft_grouped) above the dense-mode size cutoff
-    (VERDICT r1: the old auto rule left default users on the slowest fft
-    path)."""
+    fastest projector above the dense-mode size cutoff (VERDICT r1: the old
+    auto rule left default users on the slowest fft path). Round-2 A/B
+    winners: fft_shear (parallel), fft_grouped (fan)."""
     import dataclasses
 
     assert loader.build_problem(_cfg()).mode == "dense"
@@ -166,8 +166,8 @@ def test_auto_mode_defaults_to_grouped_above_128():
     big = dataclasses.replace(
         big, geometry=dataclasses.replace(big.geometry, angles_total=8)
     )
-    assert loader.build_problem(big).mode == "fft_grouped"
+    assert loader.build_problem(big).mode == "fft_shear"
     fan = dataclasses.replace(
         big, geometry=dataclasses.replace(big.geometry, fan_beam=True)
     )
-    assert loader.build_problem(fan).mode == "fft"
+    assert loader.build_problem(fan).mode == "fft_grouped"

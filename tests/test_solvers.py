@@ -131,3 +131,66 @@ def test_graph_problem_with_tv():
     x = np.asarray(x)
     # TV denoising pulls both nodes toward the piecewise-constant target.
     assert np.abs(x.mean(axis=0) - target).mean() < 0.25
+
+
+def test_graph_problem_per_node_lam_tv():
+    # Heterogeneous TV weights (VERDICT r1 weak #6): the TV-regularized node
+    # should come out smoother than the lam_tv=0 node on the same noisy data.
+    rng = np.random.default_rng(5)
+    n_side, n = 8, 64
+    gp = graph_problem.GraphProblem(n_side)
+    base = np.zeros((n_side, n_side), np.float32)
+    base[2:6, 2:6] = 5.0
+    target = base.reshape(-1)
+    b0 = target + rng.normal(scale=0.5, size=n).astype(np.float32)
+    gp.add_node(A=np.eye(n, dtype=np.float32), b=b0, lam_tv=0.0)
+    gp.add_node(A=np.eye(n, dtype=np.float32), b=b0, lam_tv=0.4)
+    gp.add_edge(0, 1, 1e-6)  # effectively decoupled
+    x, _ = gp.solve(rho=1.0, max_iters=60)
+    x = np.asarray(x).reshape(2, n_side, n_side)
+
+    def tv(im):
+        return np.abs(np.diff(im, axis=0)).sum() + np.abs(
+            np.diff(im, axis=1)
+        ).sum()
+
+    assert tv(x[1]) < 0.7 * tv(x[0])
+    # The unregularized, decoupled node just fits its data.
+    np.testing.assert_allclose(x[0].reshape(-1), b0, atol=5e-2)
+
+
+def test_graph_problem_matrix_free_operators():
+    # Batched matrix-free node operators (the radon projector family) match
+    # the dense-stack path on the same problem.
+    import jax.numpy as jnp
+
+    from dip_admm_tpu.config import GeometryConfig
+    from dip_admm_tpu.data import loader as dl
+    from dip_admm_tpu.ops import radon
+
+    geo = GeometryConfig(N=8, num_nodes=2, angles_total=12)
+    angles_np, valid_np, _ = radon.node_angles(geo)
+    angles = jnp.asarray(angles_np, jnp.float32)
+    valid = jnp.asarray(valid_np)
+    fwd, adj = dl.make_node_ops("joseph", geo, angles, valid)
+    A = np.stack([
+        np.asarray(radon.dense_matrix(geo, angles[i], valid[i]))
+        for i in range(2)
+    ])
+    rng = np.random.default_rng(0)
+    x_true = rng.normal(size=geo.n).astype(np.float32)
+    b = np.einsum("pmn,n->pm", A, x_true)
+    opn = np.asarray([np.linalg.norm(Ai.T @ Ai, 2) for Ai in A])
+
+    gp_mf = graph_problem.GraphProblem(geo.N, operators=(fwd, adj, opn))
+    gp_dn = graph_problem.GraphProblem(geo.N)
+    for i in range(2):
+        gp_mf.add_node(b=b[i])
+        gp_dn.add_node(A=A[i], b=b[i])
+    gp_mf.add_edge(0, 1, 2.0)
+    gp_dn.add_edge(0, 1, 2.0)
+    x_mf, _ = gp_mf.solve(rho=1.0, max_iters=40)
+    x_dn, _ = gp_dn.solve(rho=1.0, max_iters=40)
+    np.testing.assert_allclose(
+        np.asarray(x_mf), np.asarray(x_dn), rtol=1e-4, atol=1e-4
+    )
