@@ -89,12 +89,33 @@ def measure_tpu_throughput(N=256, P=8, timed_iters=20, dtype="float32",
     iters = int(res.n_iters)
     pri = np.asarray(res.history["primal"])[:iters]
     inner = np.asarray(res.history["inner_iters"])[:iters]
+
+    # Secondary datapoint: the RECOMMENDED operating point (pcv inner solver,
+    # over-relaxation 1.8, 50-inner budget — equal-or-better reconstruction
+    # per wall-clock second than the reference-equivalent contract above;
+    # RESULTS.md round-2 equal-time study). Same problem/tables.
+    rec_cfg = dataclasses.replace(
+        cfg.admm,
+        relax_alpha=1.8,
+        node=dataclasses.replace(
+            cfg.admm.node, max_inner=50, algorithm="pcv"
+        ),
+    )
+    admm.run_admm(problem, dataclasses.replace(rec_cfg, max_iters=2))
+    rec_elapsed = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        r2 = admm.run_admm(problem, rec_cfg)
+        float(r2.history["primal"][timed_iters - 1])
+        rec_elapsed = min(rec_elapsed, time.perf_counter() - t0)
+
     return {
         "iters_per_s": iters / elapsed,
         "elapsed_s": elapsed,
         "outer_iters": iters,
         "mean_inner_iters": float(np.nanmean(inner)),
         "final_primal_residual": float(pri[-1]),
+        "recommended_iters_per_s": timed_iters / rec_elapsed,
         "build_s": build_s,
         "backend": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),

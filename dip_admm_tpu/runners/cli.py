@@ -33,7 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-iters", type=int, default=200)
     p.add_argument("--eps-pri", type=float, default=1e-3)
     p.add_argument("--eps-dual", type=float, default=1e-3)
-    p.add_argument("--max-inner", type=int, default=200)
+    p.add_argument("--max-inner", type=int, default=None,
+                   help="inner iteration budget per node solve (default 200 "
+                        "= the reference's SCS cap; 50 under --recommended)")
     p.add_argument("--algorithm", choices=["cv", "pcv", "ppdhg"],
                    default="cv",
                    help="inner node-solver algorithm (cv = Condat-Vu, "
@@ -54,9 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ADMM over-relaxation factor (1.0 = reference)")
     p.add_argument("--recommended", action="store_true",
                    help="recommended operating point: preconditioned inner "
-                        "solver (pcv) + over-relaxation 1.8 (measured +9.3 dB "
-                        "over reference defaults at the flagship config, "
-                        "RESULTS.md)")
+                        "solver (pcv) + over-relaxation 1.8 + 50-iteration "
+                        "inner budget (measured +2.3 dB over reference "
+                        "defaults at equal wall clock, 256^2/8; RESULTS.md)")
     p.add_argument("--noise", type=float, default=0.005)
     p.add_argument("--phantom", choices=["const", "rand", "shepp"],
                    default="const")
@@ -126,13 +128,19 @@ def config_from_args(args) -> "ProblemConfig":
 
     relax_alpha = getattr(args, "relax_alpha", 1.0)
     algorithm = getattr(args, "algorithm", "cv")
+    max_inner = getattr(args, "max_inner", None)
     if getattr(args, "recommended", False):
-        # Measured best operating point (RESULTS.md): preconditioned CV +
-        # over-relaxation 1.8. Explicit flags win over the preset.
+        # Measured best operating point (RESULTS.md round-2 equal-wall-clock
+        # study): preconditioned CV + over-relaxation 1.8 + 50-inner budget.
+        # Explicit flags win over the preset.
         if relax_alpha == 1.0:
             relax_alpha = 1.8
         if algorithm == "cv":
             algorithm = "pcv"
+        if max_inner is None:
+            max_inner = 50
+    if max_inner is None:
+        max_inner = 200  # the reference's SCS per-solve cap
     return ProblemConfig(
         geometry=GeometryConfig(
             N=args.N, num_nodes=args.nodes, angles_total=args.angles,
@@ -148,7 +156,7 @@ def config_from_args(args) -> "ProblemConfig":
             relax_alpha=relax_alpha,
             use_pallas=getattr(args, "use_pallas", None),
             node=NodeSolverConfig(
-                max_inner=args.max_inner,
+                max_inner=max_inner,
                 algorithm=algorithm,
                 eps0=getattr(args, "eps0", 2.0),
                 check_every=getattr(args, "check_every", 10),

@@ -130,3 +130,27 @@ def test_cli_centralized_solvers(tmp_path, capsys):
     ])
     out = json.loads(capsys.readouterr().out)
     assert out["centralized-tv"]["psnr"] > 10.0
+
+
+def test_recommended_preset_sets_operating_point():
+    """--recommended = pcv + relax 1.8 + 50-inner budget (RESULTS.md round-2
+    equal-wall-clock study); explicit flags always win over the preset."""
+    from dip_admm_tpu.runners import cli
+
+    cfg = cli.config_from_args(cli.build_parser().parse_args(
+        ["--N", "16", "--nodes", "2", "--recommended"]))
+    assert cfg.admm.node.algorithm == "pcv"
+    assert cfg.admm.relax_alpha == 1.8
+    assert cfg.admm.node.max_inner == 50
+
+    cfg = cli.config_from_args(cli.build_parser().parse_args(
+        ["--N", "16", "--nodes", "2"]))
+    assert cfg.admm.node.max_inner == 200
+    assert cfg.admm.node.algorithm == "cv"
+
+    cfg = cli.config_from_args(cli.build_parser().parse_args(
+        ["--N", "16", "--nodes", "2", "--recommended", "--max-inner", "80",
+         "--algorithm", "ppdhg", "--relax-alpha", "1.5"]))
+    assert cfg.admm.node.max_inner == 80
+    assert cfg.admm.node.algorithm == "ppdhg"
+    assert cfg.admm.relax_alpha == 1.5
