@@ -48,58 +48,86 @@ def _interp() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _f_chunks(F: int, fb: int = 256):
+    """Static lane-aligned frequency chunks (the [tt*D2, F] matmul temp is
+    the kernel's VMEM hog — chunking f bounds it at [tt*D2, fb], which is
+    what lets the plan use tt=32 angle blocks and so 4x fewer slot-spectrum
+    blocks than tt=8)."""
+    cuts = list(range(0, F, fb)) + [F]
+    return [(a, b - a) for a, b in zip(cuts[:-1], cuts[1:])]
+
+
 def _fwd_kernel(rre_ref, rim_ref, wt_ref, sere_ref, seim_ref,
                 phire_ref, phiim_ref, gre_ref, gim_ref):
     b = pl.program_id(1)
-    W = wt_ref[0, 0].astype(jnp.float32)  # [tt, D2, nb]
+    # bf16 tap tables run the MXU dot natively (bf16 x bf16 -> f32
+    # accumulate, 4x the f32 matmul rate); the spectra are quantized to the
+    # table precision only inside the dot. f32 tables stay fully f32.
+    W = wt_ref[0, 0]  # [tt, D2, nb]
     tt, D2, nb = W.shape
+    lowp = W.dtype == jnp.bfloat16
+    if not lowp:
+        W = W.astype(jnp.float32)
     W2 = W.reshape(tt * D2, nb)
-    rre = rre_ref[0, 0]  # [nb, F] f32
-    rim = rim_ref[0, 0]
-    Sre = jnp.dot(W2, rre, preferred_element_type=jnp.float32)
-    Sim = jnp.dot(W2, rim, preferred_element_type=jnp.float32)
-    Sre = Sre.reshape(tt, D2, -1)
-    Sim = Sim.reshape(tt, D2, -1)
-    phre = phire_ref[...][None]  # [1, D2, F]
-    phim = phiim_ref[...][None]
-    Tre = jnp.sum(Sre * phre - Sim * phim, axis=1)  # [tt, F]
-    Tim = jnp.sum(Sre * phim + Sim * phre, axis=1)
-    ere = sere_ref[0, 0]  # [tt, F]
-    eim = seim_ref[0, 0]
-    gre = Tre * ere - Tim * eim
-    gim = Tre * eim + Tim * ere
+    F = gre_ref.shape[-1]
 
     @pl.when(b == 0)
     def _():
         gre_ref[0] = jnp.zeros_like(gre_ref[0])
         gim_ref[0] = jnp.zeros_like(gim_ref[0])
 
-    gre_ref[0] += gre
-    gim_ref[0] += gim
+    for f0, fw in _f_chunks(F):
+        rre = rre_ref[0, 0, :, f0:f0 + fw]  # [nb, fw] f32
+        rim = rim_ref[0, 0, :, f0:f0 + fw]
+        if lowp:
+            rre = rre.astype(jnp.bfloat16)
+            rim = rim.astype(jnp.bfloat16)
+        Sre = jnp.dot(W2, rre, preferred_element_type=jnp.float32)
+        Sim = jnp.dot(W2, rim, preferred_element_type=jnp.float32)
+        Sre = Sre.reshape(tt, D2, fw)
+        Sim = Sim.reshape(tt, D2, fw)
+        phre = phire_ref[:, f0:f0 + fw][None]  # [1, D2, fw]
+        phim = phiim_ref[:, f0:f0 + fw][None]
+        Tre = jnp.sum(Sre * phre - Sim * phim, axis=1)  # [tt, fw]
+        Tim = jnp.sum(Sre * phim + Sim * phre, axis=1)
+        ere = sere_ref[0, 0, :, f0:f0 + fw]  # [tt, fw]
+        eim = seim_ref[0, 0, :, f0:f0 + fw]
+        gre_ref[0, :, f0:f0 + fw] += Tre * ere - Tim * eim
+        gim_ref[0, :, f0:f0 + fw] += Tre * eim + Tim * ere
 
 
 def _t_kernel(gre_ref, gim_ref, wt_ref, sere_ref, seim_ref,
               phire_ref, phiim_ref, rre_ref, rim_ref):
     # Pure map: each (angle-block, row-block) owns its r-cotangent block.
-    W = wt_ref[0, 0].astype(jnp.float32)  # [tt, D2, nb]
+    W = wt_ref[0, 0]  # [tt, D2, nb]
     tt, D2, nb = W.shape
-    gre = gre_ref[0]  # [tt, F]
-    gim = gim_ref[0]
-    ere = sere_ref[0, 0]
-    eim = seim_ref[0, 0]
-    Tre = gre * ere + gim * eim  # conj(E) * g_bar
-    Tim = gim * ere - gre * eim
-    phre = phire_ref[...][None]
-    phim = phiim_ref[...][None]
-    Sre = Tre[:, None] * phre + Tim[:, None] * phim  # conj(Phi) broadcast
-    Sim = Tim[:, None] * phre - Tre[:, None] * phim  # [tt, D2, F]
+    lowp = W.dtype == jnp.bfloat16
+    if not lowp:
+        W = W.astype(jnp.float32)
     W2t = W.reshape(tt * D2, nb).T  # [nb, tt*D2]
-    rre_ref[0, 0] = jnp.dot(
-        W2t, Sre.reshape(tt * D2, -1), preferred_element_type=jnp.float32
-    )
-    rim_ref[0, 0] = jnp.dot(
-        W2t, Sim.reshape(tt * D2, -1), preferred_element_type=jnp.float32
-    )
+    F = gre_ref.shape[-1]
+    for f0, fw in _f_chunks(F):
+        gre = gre_ref[0, :, f0:f0 + fw]  # [tt, fw]
+        gim = gim_ref[0, :, f0:f0 + fw]
+        ere = sere_ref[0, 0, :, f0:f0 + fw]
+        eim = seim_ref[0, 0, :, f0:f0 + fw]
+        Tre = gre * ere + gim * eim  # conj(E) * g_bar
+        Tim = gim * ere - gre * eim
+        phre = phire_ref[:, f0:f0 + fw][None]
+        phim = phiim_ref[:, f0:f0 + fw][None]
+        Sre = Tre[:, None] * phre + Tim[:, None] * phim  # conj(Phi)
+        Sim = Tim[:, None] * phre - Tre[:, None] * phim  # [tt, D2, fw]
+        Sre = Sre.reshape(tt * D2, fw)
+        Sim = Sim.reshape(tt * D2, fw)
+        if lowp:
+            Sre = Sre.astype(jnp.bfloat16)
+            Sim = Sim.astype(jnp.bfloat16)
+        rre_ref[0, 0, :, f0:f0 + fw] = jnp.dot(
+            W2t, Sre, preferred_element_type=jnp.float32
+        )
+        rim_ref[0, 0, :, f0:f0 + fw] = jnp.dot(
+            W2t, Sim, preferred_element_type=jnp.float32
+        )
 
 
 def _specs(P, TB, tt, D2, nb, F):

@@ -163,9 +163,16 @@ def _colnorms_sq_nodes_jit(cfg: GeometryConfig, m: int, P: int, V):
 
             return scale * (tap(v0, 1.0 - fp) + tap(v0 + 1.0, fp))
 
-        wr = one(Pr[t], Br[t], Cr[t], sr[t])
-        wc = one(Pc[t], Bc[t], Cc[t], sc[t]).transpose(0, 2, 1)
-        return jnp.where(use_r[t], wr, wc)
+        # Branch-select coefficients before the [D, N, N] block build (one
+        # block per angle, not two); only the orientation needs the select.
+        sel = use_r[t]
+        w = one(
+            jnp.where(sel, Pr[t], Pc[t]),
+            jnp.where(sel, Br[t], Bc[t]),
+            jnp.where(sel, Cr[t], Cc[t]),
+            jnp.where(sel, sr[t], sc[t]),
+        )
+        return jnp.where(sel, w, w.transpose(0, 2, 1))
 
     ein = functools.partial(
         jnp.einsum, "pl,lai->pai", preferred_element_type=jnp.float32

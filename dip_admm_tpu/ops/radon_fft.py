@@ -618,9 +618,11 @@ def precompute_shear(
     tap weights Wt [P, NB, Tp, D2, nb] (two nonzeros per row column, stored
     dense for the MXU), a per-(angle, block) base phase SE [P, NB, Tp, F],
     and one tiny shared twiddle table Phi [D2, F] — ~11x less table HBM
-    than the merged H pair at 256^2. Angle rows are slot-ordered with tt=8
-    blocks (``filter_mxu.plan_branch_groups``) so each block contracts one
-    spectrum plane and the kernel's [tt*D2, F] matmul temp fits VMEM.
+    than the merged H pair at 256^2. Angle rows are slot-ordered
+    (``filter_mxu.plan_branch_groups``) so each block contracts one
+    spectrum plane; the kernel f-chunks its [tt*D2, F] matmul temp in
+    VMEM, which lets the plan use large (tt=32) angle blocks and shrinks
+    the slot-spectrum gather blocks by the same factor.
     """
     from dip_admm_tpu.ops.pallas import filter_mxu
 
@@ -656,8 +658,12 @@ def precompute_shear(
         return sigma, p, s, use_r
 
     sigma, p, s, use_r = jax.jit(jax.vmap(one))(a32)
+    # tt=32 angle blocks: the kernel chunks its [tt*D2, F] matmul temp over
+    # f in VMEM, so large blocks are free — and the slot-spectrum
+    # materialization (the [P, TB, N, F] onehot gather, the dominant
+    # overhead at 512^2) shrinks with TB = Tp/tt.
     plan = filter_mxu.plan_branch_groups(
-        ~np.asarray(use_r), np.asarray(valid), tt_candidates=(8,)
+        ~np.asarray(use_r), np.asarray(valid), tt_candidates=(32, 16, 8)
     )
     Tp = int(plan["Tp"])
 
@@ -843,10 +849,19 @@ def colnorms_sq(
         return (scale**2) * jnp.sum(w * w, axis=0)  # [a, i]
 
     def body(carry, t):
+        # Select the active branch's coefficients BEFORE materializing the
+        # [D, N, N] weight block (one block per angle, not two — the block
+        # build dominates problem setup at 512^2); only the cheap [N, N]
+        # result needs the orientation select.
         Wacc = carry
-        wr = weights_one_angle(Pr[t], Br[t], Cr[t], sr[t])
-        wc = weights_one_angle(Pc[t], Bc[t], Cc[t], sc[t]).T
-        w = jnp.where(use_r[t], wr, wc) * vmask[t]
+        sel = use_r[t]
+        w = weights_one_angle(
+            jnp.where(sel, Pr[t], Pc[t]),
+            jnp.where(sel, Br[t], Bc[t]),
+            jnp.where(sel, Cr[t], Cc[t]),
+            jnp.where(sel, sr[t], sc[t]),
+        )
+        w = jnp.where(sel, w, w.T) * vmask[t]
         return Wacc + w, None
 
     W0 = jnp.zeros((N, N), jnp.float32)

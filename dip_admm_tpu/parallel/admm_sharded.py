@@ -111,6 +111,12 @@ def _run_sharded_jit(
             x=state_f.node.x, history=hist_f, n_iters=state_f.k, state=state_f
         )
 
+    def table_spec(x):
+        # Shard per-node tables (leading node axis) over the mesh; geometry
+        # shared across nodes (fft_shear's Phi twiddles, the fan path's
+        # single-set parallel tables) replicates.
+        return node if (getattr(x, "ndim", 0) > 0 and x.shape[0] == P) else repl
+
     hist_specs = {
         name: PS(None, NODE_AXIS) if per_node else repl
         for name, per_node in core_admm.HISTORY_FIELDS
@@ -122,7 +128,7 @@ def _run_sharded_jit(
     out_specs = AdmmResult(
         x=node, history=hist_specs, n_iters=repl, state=state_specs
     )
-    tables_spec = jax.tree.map(lambda _: node, tables_arg)
+    tables_spec = jax.tree.map(table_spec, tables_arg)
     in_specs = (
         node, node, node, tables_spec, node, node, node, node, repl, node,
         repl, state_specs, hist_specs, repl,

@@ -154,3 +154,16 @@ def test_recommended_preset_sets_operating_point():
     assert cfg.admm.node.max_inner == 80
     assert cfg.admm.node.algorithm == "ppdhg"
     assert cfg.admm.relax_alpha == 1.5
+
+
+def test_cli_per_node_phantoms(tmp_path, capsys):
+    """Build-mode parity through the runner (ref block_2_load_odl_data.py:
+    134-137): each node measures its own randomized phantom."""
+    cli.main([
+        "--N", "12", "--nodes", "3", "--angles", "12", "--strategy", "knn",
+        "--k", "1", "--max-iters", "2", "--max-inner", "10",
+        "--eps-pri", "1e-9", "--eps-dual", "1e-9",
+        "--per-node-phantoms", "--out", str(tmp_path),
+    ])
+    out = json.loads(capsys.readouterr().out)
+    assert out["knn"]["n_iters"] == 2

@@ -182,3 +182,47 @@ def test_sharded_fft_grouped_parity():
         np.asarray(got.history["primal"]),
         np.asarray(ref.history["primal"]), rtol=2e-3, atol=1e-5,
     )
+
+
+def test_sharded_fft_shear_parity():
+    """fft_shear tables mix per-node leaves (Wt, SE, plan) with node-shared
+    geometry (the Phi twiddle table): the shape-based table specs must
+    shard the former and replicate the latter."""
+    problem = make_problem(P=4)
+    sh = loader.build_problem(problem.cfg, mode="fft_shear")
+    m = meshlib.make_mesh(4)
+    got = admm_sharded.run_admm_sharded(sh, mesh=m)
+    ref = admm.run_admm(sh)
+    assert int(got.n_iters) == int(ref.n_iters)
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.history["primal"]),
+        np.asarray(ref.history["primal"]), rtol=2e-3, atol=1e-5,
+    )
+
+
+def test_sharded_fan_grouped_parity():
+    """Fan-beam fft_grouped on the mesh: the shared single-set parallel
+    tables replicate, per-node row masks shard."""
+    cfg = ProblemConfig(
+        geometry=GeometryConfig(
+            N=12, num_nodes=4, angles_total=32, fan_beam=True,
+            det_width_factor=2.0, src_radius=4.0, det_radius=4.0,
+        ),
+        graph=GraphConfig(strategy="complete", k=0, seed=123),
+        admm=AdmmConfig(
+            lam_tv=0.02, rho=2.0, max_iters=5, eps_pri=1e-8, eps_dual=1e-8,
+            node=NodeSolverConfig(max_inner=40, check_every=20),
+        ),
+        noise_level=0.002,
+        phantom="const",
+    )
+    fan = loader.build_problem(cfg, mode="fft_grouped")
+    m = meshlib.make_mesh(4)
+    got = admm_sharded.run_admm_sharded(fan, mesh=m)
+    ref = admm.run_admm(fan)
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x), rtol=2e-4, atol=2e-4
+    )
