@@ -298,3 +298,211 @@ def shear_sum_reference(rre_s, rim_s, Wt, SEre, SEim, Phire, Phiim):
         g_re.reshape(P, Tp, -1),
         g_im.reshape(P, Tp, -1),
     )
+
+
+# ---------------------------------------------------------------------------
+# Factored hat-evaluation tail (the irfft + 2-tap detector evaluation +
+# branch scale as MXU matmuls). The evaluation coordinate p(t, d) is affine
+# in the detector index d, so within a db-detector block
+#
+#     p(t, d) = k0'(t, blk) + delta'(t, d) + fr',   delta' in [0, D2'-2]
+#
+# and (exactly, via sum_v hat(p - v) e^{i w_f v} = (1-fr) W^{f kp} +
+# fr W^{f (kp+1)} and the irfft coefficient c_f/Np folded into the base
+# phase E') the whole tail becomes
+#
+#     out[t, d] = sum_dd Wd[t, dd, d] * [ A(t) @ PhiD_re - B(t) @ PhiD_im ]
+#     A = g_re*E're - g_im*E'im,   B = g_re*E'im + g_im*E're
+#
+# — two [tt, F] x [F, D2'] MXU matmuls per (angle, detector) block plus a
+# small broadcast-MAC, replacing the [P, T, D, Np] hat-weight einsum (256^2)
+# / the VPU hat_eval kernel (512^2) that dominated the projector at 512^2
+# (measured 7.6 ms fwd / 15.5 ms adjoint of a ~32 ms apply pair).
+# ---------------------------------------------------------------------------
+
+
+def _eval_fwd_kernel(gre_ref, gim_ref, wd_ref, ere_ref, eim_ref,
+                     phre_ref, phim_ref, out_ref):
+    Wd = wd_ref[0, 0]  # [tt, D2p, db]
+    tt, D2p, db = Wd.shape
+    gre = gre_ref[0]  # [tt, F] f32 (slot order)
+    gim = gim_ref[0]
+    ere = ere_ref[0, 0]  # [tt, F]
+    eim = eim_ref[0, 0]
+    A = gre * ere - gim * eim
+    B = gre * eim + gim * ere
+    lowp = Wd.dtype == jnp.bfloat16
+    if lowp:
+        A = A.astype(jnp.bfloat16)
+        B = B.astype(jnp.bfloat16)
+        phre = phre_ref[...].astype(jnp.bfloat16)
+        phim = phim_ref[...].astype(jnp.bfloat16)
+    else:
+        phre = phre_ref[...]
+        phim = phim_ref[...]
+    dn = (((1,), (1,)), ((), ()))  # contract f
+    R = jax.lax.dot_general(
+        A, phre, dn, preferred_element_type=jnp.float32
+    ) - jax.lax.dot_general(
+        B, phim, dn, preferred_element_type=jnp.float32
+    )  # [tt, D2p]
+    W32 = Wd.astype(jnp.float32)
+    out_ref[0] = jnp.sum(R[:, :, None] * W32, axis=1)  # [tt, db]
+
+
+def _eval_t_kernel(ob_ref, wd_ref, ere_ref, eim_ref, phre_ref, phim_ref,
+                   gre_ref, gim_ref):
+    dblk = pl.program_id(1)
+    Wd = wd_ref[0, 0]  # [tt, D2p, db]
+    ob = ob_ref[0]  # [tt, db] cotangents (slot order)
+    W32 = Wd.astype(jnp.float32)
+    R = jnp.sum(W32 * ob[:, None, :], axis=2)  # [tt, D2p]
+    lowp = Wd.dtype == jnp.bfloat16
+    if lowp:
+        R = R.astype(jnp.bfloat16)
+        phre = phre_ref[...].astype(jnp.bfloat16)
+        phim = phim_ref[...].astype(jnp.bfloat16)
+    else:
+        phre = phre_ref[...]
+        phim = phim_ref[...]
+    A_bar = jnp.dot(R, phre, preferred_element_type=jnp.float32)  # [tt, F]
+    B_bar = -jnp.dot(R, phim, preferred_element_type=jnp.float32)
+    ere = ere_ref[0, 0]
+    eim = eim_ref[0, 0]
+    gre = A_bar * ere + B_bar * eim
+    gim = -A_bar * eim + B_bar * ere
+
+    @pl.when(dblk == 0)
+    def _():
+        gre_ref[0] = jnp.zeros_like(gre_ref[0])
+        gim_ref[0] = jnp.zeros_like(gim_ref[0])
+
+    gre_ref[0] += gre
+    gim_ref[0] += gim
+
+
+def _eval_specs(P, TB, tt, D2p, db, F):
+    g_spec = pl.BlockSpec(
+        (1, tt, F), lambda q, b: (q // TB, q % TB, 0),
+        memory_space=pltpu.VMEM,
+    )
+    wd_spec = pl.BlockSpec(
+        (1, 1, tt, D2p, db),
+        lambda q, b: ((q // TB) % P, b, q % TB, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    e_spec = pl.BlockSpec(
+        (1, 1, tt, F), lambda q, b: ((q // TB) % P, b, q % TB, 0),
+        memory_space=pltpu.VMEM,
+    )
+    phi_spec = pl.BlockSpec(
+        (D2p, F), lambda q, b: (0, 0), memory_space=pltpu.VMEM
+    )
+    o_spec = pl.BlockSpec(
+        (1, tt, db), lambda q, b: (q // TB, q % TB, b),
+        memory_space=pltpu.VMEM,
+    )
+    return g_spec, wd_spec, e_spec, phi_spec, o_spec
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _eval_fwd_pallas(gre, gim, Wd, TEre, TEim, PhiDre, PhiDim,
+                     interpret=False):
+    P, DB, Tp, D2p, db = Wd.shape
+    PB = gre.shape[0]
+    F = gre.shape[-1]
+    tt = _eval_tt(Tp)
+    TB = Tp // tt
+    grid = (PB * TB, DB)  # pure map over detector blocks
+    g_spec, wd_spec, e_spec, phi_spec, o_spec = _eval_specs(
+        P, TB, tt, D2p, db, F
+    )
+    return pl.pallas_call(
+        _eval_fwd_kernel,
+        grid=grid,
+        in_specs=[g_spec, g_spec, wd_spec, e_spec, e_spec, phi_spec,
+                  phi_spec],
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct((PB, Tp, DB * db), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * PB * Tp * DB * D2p * F + 2 * PB * Tp * DB * D2p * db,
+            bytes_accessed=Wd.size * Wd.dtype.itemsize * (PB // P)
+            + gre.size * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(gre, gim, Wd, TEre, TEim, PhiDre, PhiDim)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _eval_t_pallas(ob, Wd, TEre, TEim, PhiDre, PhiDim, interpret=False):
+    P, DB, Tp, D2p, db = Wd.shape
+    PB = ob.shape[0]
+    F = TEre.shape[-1]
+    tt = _eval_tt(Tp)
+    TB = Tp // tt
+    grid = (PB * TB, DB)  # detector blocks innermost: accumulation axis
+    g_spec, wd_spec, e_spec, phi_spec, o_spec = _eval_specs(
+        P, TB, tt, D2p, db, F
+    )
+    return pl.pallas_call(
+        _eval_t_kernel,
+        grid=grid,
+        in_specs=[o_spec, wd_spec, e_spec, e_spec, phi_spec, phi_spec],
+        out_specs=(g_spec, g_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((PB, Tp, F), jnp.float32),
+            jax.ShapeDtypeStruct((PB, Tp, F), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * PB * Tp * DB * D2p * F + 2 * PB * Tp * DB * D2p * db,
+            bytes_accessed=Wd.size * Wd.dtype.itemsize * (PB // P)
+            + ob.size * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ob, Wd, TEre, TEim, PhiDre, PhiDim)
+
+
+def _eval_tt(Tp: int) -> int:
+    """Angle block for the eval-tail kernels (the [tt, F] x [F, D2'] dots
+    have no big temp, so tt just needs to divide Tp and align sublanes)."""
+    for cand in (32, 16, 8):
+        if Tp % cand == 0:
+            return cand
+    return Tp
+
+
+@custom_batching.custom_vmap
+def eval_shear(gre, gim, Wd, TEre, TEim, PhiDre, PhiDim):
+    """Factored hat-evaluation tail: slot-order spectra [P, Tp, F] pair ->
+    slot-order sinograms [P, Tp, D] (branch scale and row masks folded into
+    Wd). Exact same math as ``radon_fft._eval_tail`` on the irfft+hat path.
+    """
+    return _eval_fwd_pallas(
+        gre, gim, Wd, TEre, TEim, PhiDre, PhiDim, interpret=_interp()
+    )
+
+
+@eval_shear.def_vmap
+def _eval_shear_vmap(axis_size, in_batched, gre, gim, *tabs):
+    _check_unbatched(in_batched, 2, "eval_shear")
+    gre_f, gim_f = _fold_batch([gre, gim], axis_size)
+    out = _eval_fwd_pallas(gre_f, gim_f, *tabs, interpret=_interp())
+    return out.reshape((axis_size, out.shape[0] // axis_size) + out.shape[1:]), True
+
+
+@custom_batching.custom_vmap
+def eval_shear_t(ob, Wd, TEre, TEim, PhiDre, PhiDim):
+    """Exact transpose of :func:`eval_shear` w.r.t. the spectra."""
+    return _eval_t_pallas(
+        ob, Wd, TEre, TEim, PhiDre, PhiDim, interpret=_interp()
+    )
+
+
+@eval_shear_t.def_vmap
+def _eval_shear_t_vmap(axis_size, in_batched, ob, *tabs):
+    _check_unbatched(in_batched, 1, "eval_shear_t")
+    obf = ob.reshape((axis_size * ob.shape[1],) + ob.shape[2:])
+    out = _eval_t_pallas(obf, *tabs, interpret=_interp())
+    return _unfold_batch(out, axis_size), (True, True)

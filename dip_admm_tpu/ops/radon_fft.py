@@ -699,54 +699,110 @@ def precompute_shear(
         Phiim = jnp.sin(ph_d)
         return Wt, SEre, SEim, Phire, Phiim
 
-    Wt, SEre, SEim, Phire, Phiim = build_tables(
-        sigma, jnp.asarray(plan["src_slot"])
-    )
-    Ere, Eim, Cre, Cim = jax.jit(_dft_mats, static_argnums=(0, 1))(N, Np)
+    src = jnp.asarray(plan["src_slot"])
+    Wt, SEre, SEim, Phire, Phiim = build_tables(sigma, src)
+
+    # ---- factored eval tail (same trick on the detector axis): the
+    # evaluation coordinate p(t, d) is affine in d, so within a db-detector
+    # block p = k0' + delta' + fr' with delta' spanning O(db) consecutive
+    # integers; the irfft coefficients c_f/Np fold into the base phase and
+    # the branch scale + row masks fold into the tap weights. ----
+    db = D
+    for cand in range(min(128, D), 7, -8):
+        if D % cand == 0 and cand % 8 == 0:
+            db = cand
+            break
+    DB = D // db
+
+    @jax.jit
+    def tail_coords(p, s_valid, src):
+        keep = (src >= 0).astype(jnp.float32)
+        srcc = jnp.clip(src, 0)
+        p_s = jnp.take_along_axis(p, srcc[:, :, None], axis=1)
+        p_s = jnp.where(keep[:, :, None] > 0, p_s, 0.0)  # [P, Tp, D]
+        s_s = jnp.take_along_axis(s_valid, srcc, axis=1) * keep
+        kd = jnp.floor(p_s).astype(jnp.int32).reshape(P, Tp, DB, db)
+        frd = (p_s - jnp.floor(p_s)).astype(jnp.float32).reshape(
+            P, Tp, DB, db
+        )
+        k0d = jnp.min(kd, axis=-1)  # [P, Tp, DB]
+        return s_s, k0d, kd - k0d[..., None], frd
+
+    s_s, k0d, deltad, frd = tail_coords(p, s * valid.astype(s.dtype), src)
+    D2p = -(-(int(jnp.max(deltad)) + 2) // 16) * 16
+
+    @jax.jit
+    def tail_tables(s_s, k0d, deltad, frd):
+        ddr = jnp.arange(D2p, dtype=jnp.int32)
+        wd = (
+            (deltad[..., None, :] == ddr[:, None])
+            * (1.0 - frd[..., None, :])
+            + (deltad[..., None, :] + 1 == ddr[:, None])
+            * frd[..., None, :]
+        )  # [P, Tp, DB, D2p, db]
+        wd = wd * s_s[:, :, None, None, None]
+        Wd = wd.transpose(0, 2, 1, 3, 4).astype(table_dtype)
+        f_idx = jnp.arange(F, dtype=jnp.float32)
+        ang = (2.0 * jnp.pi / Np) * f_idx
+        cfac = jnp.full((F,), 2.0 / Np).at[0].set(1.0 / Np)
+        cfac = cfac.at[-1].set(1.0 / Np)
+        ph = ang[None, None, None, :] * k0d.astype(jnp.float32)[..., None]
+        TEre = (cfac * jnp.cos(ph)).transpose(0, 2, 1, 3)  # [P, DB, Tp, F]
+        TEim = (cfac * jnp.sin(ph)).transpose(0, 2, 1, 3)
+        ph_d = ang[None, :] * jnp.arange(D2p, dtype=jnp.float32)[:, None]
+        return Wd, TEre, TEim, jnp.cos(ph_d), jnp.sin(ph_d)
+
+    Wd, TEre, TEim, PhiDre, PhiDim = tail_tables(s_s, k0d, deltad, frd)
+
+    Ere, Eim, _, _ = jax.jit(_dft_mats, static_argnums=(0, 1))(N, Np)
     rep = jax.jit(lambda x: jnp.broadcast_to(x[None], (P,) + x.shape))
     return {
         "Wt": Wt,
         "SEre": SEre, "SEim": SEim,
         "Phire": Phire, "Phiim": Phiim,
+        "Wd": Wd,
+        "TEre": TEre, "TEim": TEim,
+        "PhiDre": PhiDre, "PhiDim": PhiDim,
         "onehot": jnp.asarray(plan["onehot"]),
         "posfull": jnp.asarray(plan["posfull"]),
         "invposfull": jnp.asarray(plan["invposfull"]),
-        "p": p, "s": s * valid.astype(s.dtype),
         "Ere": rep(Ere), "Eim": rep(Eim),
-        "Cre": rep(Cre), "Cim": rep(Cim),
     }
 
 
 def project_nodes_shear(cfg: GeometryConfig, imgs, tables):
     """Batched forward projection [P, N, N] -> [P, T, D] on factored shear
     tables (:func:`precompute_shear`): DFT matmuls + the MXU shear-sum
-    kernel + slot unpermute + hat evaluation. Parallel beam only."""
+    kernel + the factored MXU eval tail + slot unpermute. Parallel beam
+    only."""
     if cfg.fan_beam:
         raise NotImplementedError("fft_shear supports parallel beam only")
     from dip_admm_tpu.ops.pallas.filter_mxu import permute_rows
-    from dip_admm_tpu.ops.pallas.shear_sum import shear_sum
+    from dip_admm_tpu.ops.pallas.shear_sum import eval_shear, shear_sum
 
     t = tables
-    T = t["p"].shape[-2]
+    T = max(cfg.angles_per_node())
     rre2, rim2 = _plane_spectra(imgs, t)
     rre_s = _ein32("ponf,pto->ptnf", rre2, t["onehot"])
     rim_s = _ein32("ponf,pto->ptnf", rim2, t["onehot"])
     g_re, g_im = shear_sum(
         rre_s, rim_s, t["Wt"], t["SEre"], t["SEim"], t["Phire"], t["Phiim"]
     )
-    g_re = permute_rows(g_re, t["posfull"])[:, :T]
-    g_im = permute_rows(g_im, t["posfull"])[:, :T]
-    return _eval_tail(g_re, g_im, t, imgs.dtype)
+    out_slot = eval_shear(
+        g_re, g_im, t["Wd"], t["TEre"], t["TEim"], t["PhiDre"], t["PhiDim"]
+    )  # [P, Tp, D] in slot order (scale + masks folded into Wd)
+    return permute_rows(out_slot, t["posfull"])[:, :T].astype(imgs.dtype)
 
 
 def backproject_nodes_shear(cfg: GeometryConfig, sinos, tables):
     """Exact adjoint of :func:`project_nodes_shear`, composed by hand."""
-    from dip_admm_tpu.ops.pallas.shear_sum import shear_sum_t
+    from dip_admm_tpu.ops.pallas.shear_sum import eval_shear_t, shear_sum_t
 
     t = tables
-    g_re_bar, g_im_bar = _eval_tail_t(sinos, t)
-    g_re_bar = _pad_unpermute(g_re_bar, t)
-    g_im_bar = _pad_unpermute(g_im_bar, t)
+    ob = _pad_unpermute(sinos.astype(jnp.float32), t)  # [P, Tp, D] slots
+    g_re_bar, g_im_bar = eval_shear_t(
+        ob, t["Wd"], t["TEre"], t["TEim"], t["PhiDre"], t["PhiDim"]
+    )
     rre_s_bar, rim_s_bar = shear_sum_t(
         g_re_bar, g_im_bar, t["Wt"], t["SEre"], t["SEim"],
         t["Phire"], t["Phiim"], t["onehot"],
