@@ -50,6 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="early-exit when the stationarity residual stops "
                         "improving by this relative amount between checks "
                         "(0 disables)")
+    p.add_argument("--eps-rel", type=float, default=0.0,
+                   help="relative inexactness: accept a node solve once its "
+                        "stationarity residual drops to this fraction of "
+                        "its start-of-solve value (scale-free, actually "
+                        "fires at 256^2+ where the absolute eps_k schedule "
+                        "cannot; 0 = reference-parity absolute-only)")
     p.add_argument("--z-fusion", choices=["midpoint", "weighted"],
                    default="midpoint")
     p.add_argument("--relax-alpha", type=float, default=1.0,
@@ -161,6 +167,7 @@ def config_from_args(args) -> "ProblemConfig":
                 eps0=getattr(args, "eps0", 2.0),
                 check_every=getattr(args, "check_every", 10),
                 plateau_tol=getattr(args, "plateau_tol", 0.01),
+                eps_rel=getattr(args, "eps_rel", 0.0),
             ),
         ),
         noise_level=args.noise,

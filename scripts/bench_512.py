@@ -68,10 +68,14 @@ def main():
         t0 = time.perf_counter()
         admm.run_admm(problem, warm).x.block_until_ready()
         compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        res = admm.run_admm(problem)
-        float(np.asarray(res.history["primal"])[args.outer - 1])
-        dt = time.perf_counter() - t0
+        # Best-of-3: the socket relay intermittently stalls for seconds —
+        # single-shot timings at this scale have produced 2-5x outliers.
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = admm.run_admm(problem)
+            float(np.asarray(res.history["primal"])[args.outer - 1])
+            dt = min(dt, time.perf_counter() - t0)
         inner = float(np.nanmean(np.asarray(res.history["inner_iters"])))
         print(json.dumps({
             "N": args.N, "nodes": P, "mode": problem.mode,
