@@ -82,6 +82,7 @@ class NodeBlockData(NamedTuple):
     L: jnp.ndarray  # [P_loc] Lipschitz bounds
     x_true: jnp.ndarray  # [n]
     N: int
+    g_scale: jnp.ndarray = None  # [P_loc] ||A_i^T b_i|| (eps_rel anchor)
 
 
 HISTORY_FIELDS = (
@@ -130,9 +131,17 @@ def admm_iteration(
     c_quad = jnp.sum(data.Q * V * V, axis=(1, 2))
 
     # --- inexact node solve with adaptive target (ref ver2:100-176) ---
-    eps_k = cfg.node.eps0 / (k.astype(X.dtype) + 1.0) ** (
-        1.0 + cfg.node.gamma_decay
-    )
+    decay = (k.astype(X.dtype) + 1.0) ** (1.0 + cfg.node.gamma_decay)
+    eps_k = cfg.node.eps0 / decay
+    if cfg.node.eps_rel > 0:
+        # Data-scale-relative schedule: eps0 is an absolute constant the
+        # reference tuned at 64^2 — unreachable at 256^2+ (RESULTS.md), so
+        # acceptance never fires and the budget rules. Anchoring the target
+        # at eps_rel * ||A_i^T b_i|| per node gives a scale-free schedule
+        # that fires at every problem size; the looser of the two targets
+        # applies (the absolute one preserves small-scale reference
+        # behavior).
+        eps_k = jnp.maximum(eps_k, cfg.node.eps_rel * data.g_scale / decay)
     nstate = state.node if cfg.node.warm_start else node_solver.init_state(
         P_loc, data.N, data.b.shape[1], X.dtype
     )._replace(x=state.node.x)
@@ -217,7 +226,9 @@ def admm_iteration(
         "img_mse_per_node": img_mse,
         "img_mse_total": img_mse_total,
         "g_norm": res.g_norm,
-        "eps_target": eps_k,
+        # scalar history slot; under eps_rel the target is per-node — record
+        # the loosest (the one that gates the batched solve's trip count)
+        "eps_target": jnp.max(jnp.atleast_1d(eps_k)),
         "inner_iters": jnp.broadcast_to(
             res.inner_iters.astype(X.dtype), (P_loc,)
         ),
@@ -237,6 +248,9 @@ def _block_data(problem: Problem, cfg: AdmmConfig, dtype) -> NodeBlockData:
     L = problem.opnorm + cfg.rho * jnp.max(
         jnp.sum(problem.Q, axis=1), axis=-1
     )
+    # Per-node data scale for the eps_rel schedule (hoisted out of the
+    # while_loop: one adjoint application per run, not per iteration).
+    g_scale = jnp.linalg.norm(problem.adjoint(problem.b), axis=1)
     return NodeBlockData(
         fwd=problem.forward,
         adj=problem.adjoint,
@@ -248,6 +262,7 @@ def _block_data(problem: Problem, cfg: AdmmConfig, dtype) -> NodeBlockData:
         L=L,
         x_true=problem.x_true,
         N=problem.N,
+        g_scale=g_scale,
     )
 
 

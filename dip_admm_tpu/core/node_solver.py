@@ -182,24 +182,16 @@ def solve_nodes(
         any_reduce = lambda v: v
 
     def cond(carry):
-        st, k, g_norm, g_ref, active = carry
+        st, k, g_norm, active = carry
         return (k < cfg.max_inner) & active
 
     def body(carry):
-        st, k, g_prev, g_ref, _ = carry
+        st, k, g_prev, _ = carry
         st = jax.lax.fori_loop(0, cfg.check_every, inner_step, st)
         g_norm = jnp.linalg.norm(g_residual(st.x), axis=1)
-        # First check fixes the per-solve residual scale (warm starts make
-        # it shrink across outer iterations automatically).
-        g_ref = jnp.where(jnp.isinf(g_ref), g_norm, g_ref)
-        unmet_nodes = g_norm > eps_k
-        if cfg.eps_rel > 0:
-            # Relative inexactness (inexact-Newton forcing term): the node
-            # solve is accepted once its residual dropped to eps_rel of its
-            # start-of-solve value — a scale-free criterion that actually
-            # fires where the absolute eps_k schedule cannot (RESULTS.md).
-            unmet_nodes = unmet_nodes & (g_norm > cfg.eps_rel * g_ref)
-        unmet = jnp.any(unmet_nodes)
+        # eps_k may be a scalar or per-node [P] (the data-scale-relative
+        # schedule folds in at the caller, core.admm.admm_iteration).
+        unmet = jnp.any(g_norm > eps_k)
         if cfg.plateau_tol > 0:
             # The normalized-subgradient residual has an irreducible floor at
             # TV optima with flat regions; once no node improves by more than
@@ -214,12 +206,11 @@ def solve_nodes(
             )
             unmet = unmet & improving
         active = any_reduce(unmet)
-        return st, k + cfg.check_every, g_norm, g_ref, active
+        return st, k + cfg.check_every, g_norm, active
 
     g0 = jnp.full((P,), jnp.inf, dtype)
-    st, k_used, g_norm, _, _ = jax.lax.while_loop(
-        cond, body, (state, jnp.int32(0), g0, jnp.full((P,), jnp.inf, dtype),
-                     jnp.asarray(True))
+    st, k_used, g_norm, _ = jax.lax.while_loop(
+        cond, body, (state, jnp.int32(0), g0, jnp.asarray(True))
     )
     # If the loop never ran (already accepted), g0 is stale — recompute.
     g_norm = jnp.where(

@@ -506,3 +506,199 @@ def _eval_shear_t_vmap(axis_size, in_batched, ob, *tabs):
     obf = ob.reshape((axis_size * ob.shape[1],) + ob.shape[2:])
     out = _eval_t_pallas(obf, *tabs, interpret=_interp())
     return _unfold_batch(out, axis_size), (True, True)
+
+
+# ---------------------------------------------------------------------------
+# Scalar-prefetch plane selection: the slot-ordered spectra rre_s/rim_s were
+# materialized [P, TB, N, F] by a one-hot gather einsum purely to route each
+# angle block to its spectrum plane (~0.5 ms/apply at 256^2, ~1.2 at 512^2,
+# each direction). With the per-block plane index prefetched to SMEM, the
+# forward kernel reads its [nb, F] spectrum block straight out of the
+# two-plane tensor [P, 2, N, F], and the transpose ACCUMULATES its
+# cotangent blocks directly into the planes (the branch-grouped slot order
+# makes the plane sequence monotone per node, so output-block revisits are
+# consecutive; pure-slack blocks carry zero taps and the per-plane
+# ``pvisited`` mask zeroes planes no block wrote).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fwd_pallas_planes(rre2, rim2, Wt, SEre, SEim, Phire, Phiim, plane,
+                       interpret=False):
+    P, NB, Tp, D2, nb = Wt.shape
+    PB = rre2.shape[0]
+    F = rre2.shape[-1]
+    TB = plane.shape[1]
+    tt = Tp // TB
+    grid = (PB * TB, NB)
+    r_spec = pl.BlockSpec(
+        (1, 1, nb, F),
+        lambda q, b, pr: (q // TB, pr[(q // TB) % P, q % TB], b, 0),
+        memory_space=pltpu.VMEM,
+    )
+    wt_spec = pl.BlockSpec(
+        (1, 1, tt, D2, nb),
+        lambda q, b, pr: ((q // TB) % P, b, q % TB, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    se_spec = pl.BlockSpec(
+        (1, 1, tt, F), lambda q, b, pr: ((q // TB) % P, b, q % TB, 0),
+        memory_space=pltpu.VMEM,
+    )
+    phi_spec = pl.BlockSpec(
+        (D2, F), lambda q, b, pr: (0, 0), memory_space=pltpu.VMEM
+    )
+    g_spec = pl.BlockSpec(
+        (1, tt, F), lambda q, b, pr: (q // TB, q % TB, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    def kern(plane_ref, rre_ref, rim_ref, wt_ref, sere_ref, seim_ref,
+             phire_ref, phiim_ref, gre_ref, gim_ref):
+        _fwd_kernel(rre_ref, rim_ref, wt_ref, sere_ref, seim_ref,
+                    phire_ref, phiim_ref, gre_ref, gim_ref)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[r_spec, r_spec, wt_spec, se_spec, se_spec, phi_spec,
+                  phi_spec],
+        out_specs=(g_spec, g_spec),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((PB, Tp, F), jnp.float32),
+            jax.ShapeDtypeStruct((PB, Tp, F), jnp.float32),
+        ),
+        interpret=interpret,
+    )(plane, rre2, rim2, Wt, SEre, SEim, Phire, Phiim)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _t_pallas_planes(gre_b, gim_b, Wt, SEre, SEim, Phire, Phiim, plane,
+                     pfirst, interpret=False):
+    P, NB, Tp, D2, nb = Wt.shape
+    PB = gre_b.shape[0]
+    F = gre_b.shape[-1]
+    TB = plane.shape[1]
+    tt = Tp // TB
+    N = NB * nb
+    grid = (PB * NB, TB)  # tb innermost: consecutive same-plane revisits
+    g_spec = pl.BlockSpec(
+        (1, tt, F), lambda q, tb, pr, fr: (q // NB, tb, 0),
+        memory_space=pltpu.VMEM,
+    )
+    wt_spec = pl.BlockSpec(
+        (1, 1, tt, D2, nb),
+        lambda q, tb, pr, fr: ((q // NB) % P, q % NB, tb, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    se_spec = pl.BlockSpec(
+        (1, 1, tt, F), lambda q, tb, pr, fr: ((q // NB) % P, q % NB, tb, 0),
+        memory_space=pltpu.VMEM,
+    )
+    phi_spec = pl.BlockSpec(
+        (D2, F), lambda q, tb, pr, fr: (0, 0), memory_space=pltpu.VMEM
+    )
+    r2_spec = pl.BlockSpec(
+        (1, 1, nb, F),
+        lambda q, tb, pr, fr: (q // NB, pr[(q // NB) % P, tb], q % NB, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    def kern(plane_ref, first_ref, gre_ref, gim_ref, wt_ref, sere_ref,
+             seim_ref, phire_ref, phiim_ref, rre2_ref, rim2_ref):
+        q = pl.program_id(0)
+        tb = pl.program_id(1)
+        p = (q // NB) % P
+        W = wt_ref[0, 0]  # [tt, D2, nb]
+        ttk, D2k, nbk = W.shape
+        lowp = W.dtype == jnp.bfloat16
+        if not lowp:
+            W = W.astype(jnp.float32)
+        W2t = W.reshape(ttk * D2k, nbk).T
+
+        @pl.when(first_ref[p, tb] == 1)
+        def _():
+            rre2_ref[0, 0] = jnp.zeros_like(rre2_ref[0, 0])
+            rim2_ref[0, 0] = jnp.zeros_like(rim2_ref[0, 0])
+
+        for f0, fw in _f_chunks(F):
+            gre = gre_ref[0, :, f0:f0 + fw]
+            gim = gim_ref[0, :, f0:f0 + fw]
+            ere = sere_ref[0, 0, :, f0:f0 + fw]
+            eim = seim_ref[0, 0, :, f0:f0 + fw]
+            Tre = gre * ere + gim * eim
+            Tim = gim * ere - gre * eim
+            phre = phire_ref[:, f0:f0 + fw][None]
+            phim = phiim_ref[:, f0:f0 + fw][None]
+            Sre = Tre[:, None] * phre + Tim[:, None] * phim
+            Sim = Tim[:, None] * phre - Tre[:, None] * phim
+            Sre = Sre.reshape(ttk * D2k, fw)
+            Sim = Sim.reshape(ttk * D2k, fw)
+            if lowp:
+                Sre = Sre.astype(jnp.bfloat16)
+                Sim = Sim.astype(jnp.bfloat16)
+            rre2_ref[0, 0, :, f0:f0 + fw] += jnp.dot(
+                W2t, Sre, preferred_element_type=jnp.float32
+            )
+            rim2_ref[0, 0, :, f0:f0 + fw] += jnp.dot(
+                W2t, Sim, preferred_element_type=jnp.float32
+            )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[g_spec, g_spec, wt_spec, se_spec, se_spec, phi_spec,
+                  phi_spec],
+        out_specs=(r2_spec, r2_spec),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((PB, 2, N, F), jnp.float32),
+            jax.ShapeDtypeStruct((PB, 2, N, F), jnp.float32),
+        ),
+        interpret=interpret,
+    )(plane, pfirst, gre_b, gim_b, Wt, SEre, SEim, Phire, Phiim)
+
+
+@custom_batching.custom_vmap
+def shear_sum_planes(rre2, rim2, Wt, SEre, SEim, Phire, Phiim, plane):
+    """Plane-prefetch forward shear-sum: two-plane spectra [P, 2, N, F]
+    pair -> slot-order [P, Tp, F] pair, no slot-spectrum materialization."""
+    return _fwd_pallas_planes(
+        rre2, rim2, Wt, SEre, SEim, Phire, Phiim, plane,
+        interpret=_interp(),
+    )
+
+
+@shear_sum_planes.def_vmap
+def _shear_sum_planes_vmap(axis_size, in_batched, rre2, rim2, *tabs):
+    _check_unbatched(in_batched, 2, "shear_sum_planes")
+    rre_f, rim_f = _fold_batch([rre2, rim2], axis_size)
+    out = _fwd_pallas_planes(rre_f, rim_f, *tabs, interpret=_interp())
+    return _unfold_batch(out, axis_size), (True, True)
+
+
+@custom_batching.custom_vmap
+def shear_sum_planes_t(gre_b, gim_b, Wt, SEre, SEim, Phire, Phiim, plane,
+                       pfirst):
+    """Exact transpose of :func:`shear_sum_planes`: accumulates straight
+    into the two spectrum planes [P, 2, N, F] (apply the per-plane
+    ``pvisited`` mask afterwards — planes no block wrote are undefined)."""
+    return _t_pallas_planes(
+        gre_b, gim_b, Wt, SEre, SEim, Phire, Phiim, plane, pfirst,
+        interpret=_interp(),
+    )
+
+
+@shear_sum_planes_t.def_vmap
+def _shear_sum_planes_t_vmap(axis_size, in_batched, gre_b, gim_b, *tabs):
+    _check_unbatched(in_batched, 2, "shear_sum_planes_t")
+    gre_f, gim_f = _fold_batch([gre_b, gim_b], axis_size)
+    out = _t_pallas_planes(gre_f, gim_f, *tabs, interpret=_interp())
+    return _unfold_batch(out, axis_size), (True, True)

@@ -702,6 +702,27 @@ def precompute_shear(
     src = jnp.asarray(plan["src_slot"])
     Wt, SEre, SEim, Phire, Phiim = build_tables(sigma, src)
 
+    # Per-block spectrum-plane index for the scalar-prefetch kernels.
+    # Pure-slack blocks (zero tap rows) inherit the previous block's plane
+    # so the sequence is MONOTONE per node — the transpose kernel
+    # accumulates straight into the [P, 2, N, F] planes and monotonicity
+    # makes its output-block revisits consecutive (a Pallas requirement).
+    TBp = int(plan["onehot"].shape[1])
+    tt_plan = int(plan["tt"])
+    plane_np = np.argmax(np.asarray(plan["onehot"]), axis=2).astype(np.int32)
+    src_np = np.asarray(plan["src_slot"])
+    for i in range(P):
+        for bsl in range(TBp):
+            blk_slack = (src_np[i, bsl * tt_plan:(bsl + 1) * tt_plan] < 0).all()
+            if blk_slack and bsl > 0:
+                plane_np[i, bsl] = plane_np[i, bsl - 1]
+    pfirst_np = np.zeros((P, TBp), np.int32)
+    pfirst_np[:, 0] = 1
+    pfirst_np[:, 1:] = (plane_np[:, 1:] != plane_np[:, :-1]).astype(np.int32)
+    pvisited_np = np.zeros((P, 2), np.float32)
+    for i in range(P):
+        pvisited_np[i, np.unique(plane_np[i])] = 1.0
+
     # ---- factored eval tail (same trick on the detector axis): the
     # evaluation coordinate p(t, d) is affine in d, so within a db-detector
     # block p = k0' + delta' + fr' with delta' spanning O(db) consecutive
@@ -766,6 +787,9 @@ def precompute_shear(
         "onehot": jnp.asarray(plan["onehot"]),
         "posfull": jnp.asarray(plan["posfull"]),
         "invposfull": jnp.asarray(plan["invposfull"]),
+        "plane": jnp.asarray(plane_np),
+        "pfirst": jnp.asarray(pfirst_np),
+        "pvisited": jnp.asarray(pvisited_np),
         "Ere": rep(Ere), "Eim": rep(Eim),
     }
 
@@ -778,15 +802,16 @@ def project_nodes_shear(cfg: GeometryConfig, imgs, tables):
     if cfg.fan_beam:
         raise NotImplementedError("fft_shear supports parallel beam only")
     from dip_admm_tpu.ops.pallas.filter_mxu import permute_rows
-    from dip_admm_tpu.ops.pallas.shear_sum import eval_shear, shear_sum
+    from dip_admm_tpu.ops.pallas.shear_sum import (
+        eval_shear, shear_sum_planes,
+    )
 
     t = tables
     T = max(cfg.angles_per_node())
     rre2, rim2 = _plane_spectra(imgs, t)
-    rre_s = _ein32("ponf,pto->ptnf", rre2, t["onehot"])
-    rim_s = _ein32("ponf,pto->ptnf", rim2, t["onehot"])
-    g_re, g_im = shear_sum(
-        rre_s, rim_s, t["Wt"], t["SEre"], t["SEim"], t["Phire"], t["Phiim"]
+    g_re, g_im = shear_sum_planes(
+        rre2, rim2, t["Wt"], t["SEre"], t["SEim"], t["Phire"], t["Phiim"],
+        t["plane"],
     )
     out_slot = eval_shear(
         g_re, g_im, t["Wd"], t["TEre"], t["TEim"], t["PhiDre"], t["PhiDim"]
@@ -796,19 +821,23 @@ def project_nodes_shear(cfg: GeometryConfig, imgs, tables):
 
 def backproject_nodes_shear(cfg: GeometryConfig, sinos, tables):
     """Exact adjoint of :func:`project_nodes_shear`, composed by hand."""
-    from dip_admm_tpu.ops.pallas.shear_sum import eval_shear_t, shear_sum_t
+    from dip_admm_tpu.ops.pallas.shear_sum import (
+        eval_shear_t, shear_sum_planes_t,
+    )
 
     t = tables
     ob = _pad_unpermute(sinos.astype(jnp.float32), t)  # [P, Tp, D] slots
     g_re_bar, g_im_bar = eval_shear_t(
         ob, t["Wd"], t["TEre"], t["TEim"], t["PhiDre"], t["PhiDim"]
     )
-    rre_s_bar, rim_s_bar = shear_sum_t(
+    rre2_bar, rim2_bar = shear_sum_planes_t(
         g_re_bar, g_im_bar, t["Wt"], t["SEre"], t["SEim"],
-        t["Phire"], t["Phiim"], t["onehot"],
+        t["Phire"], t["Phiim"], t["plane"], t["pfirst"],
     )
-    rre2_bar = _ein32("ptnf,pto->ponf", rre_s_bar, t["onehot"])
-    rim2_bar = _ein32("ptnf,pto->ponf", rim_s_bar, t["onehot"])
+    # Planes no angle block wrote are uninitialized kernel outputs.
+    vis = t["pvisited"][:, :, None, None]
+    rre2_bar = jnp.where(vis > 0, rre2_bar, 0.0)
+    rim2_bar = jnp.where(vis > 0, rim2_bar, 0.0)
     return _plane_spectra_t(rre2_bar, rim2_bar, t, sinos.dtype)
 
 

@@ -89,6 +89,7 @@ def _run_sharded_jit(
         data = NodeBlockData(
             fwd=fwd, adj=adj, b=b, Q=Q, adjm=adjm.astype(dtype),
             W_own=W_blk, W_all=W_all, L=L_blk, x_true=x_true, N=N,
+            g_scale=jnp.linalg.norm(adj(b), axis=1),
         )
         comm = CommOps(
             pair_transpose=_pair_transpose(NODE_AXIS),

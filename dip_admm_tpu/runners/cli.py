@@ -51,11 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "improving by this relative amount between checks "
                         "(0 disables)")
     p.add_argument("--eps-rel", type=float, default=0.0,
-                   help="relative inexactness: accept a node solve once its "
-                        "stationarity residual drops to this fraction of "
-                        "its start-of-solve value (scale-free, actually "
-                        "fires at 256^2+ where the absolute eps_k schedule "
-                        "cannot; 0 = reference-parity absolute-only)")
+                   help="data-scale-relative inexactness: widen the "
+                        "acceptance target to eps_rel*||A_i^T b_i||/"
+                        "(k+1)^(1+gamma) per node (fires at every problem "
+                        "size, unlike the reference's absolute eps0; "
+                        "0 = reference-parity absolute-only)")
     p.add_argument("--z-fusion", choices=["midpoint", "weighted"],
                    default="midpoint")
     p.add_argument("--relax-alpha", type=float, default=1.0,

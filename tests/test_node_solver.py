@@ -213,10 +213,10 @@ def test_pcv_ridge_oracle():
 
 
 def test_eps_rel_relative_acceptance():
-    """eps_rel accepts the node solve once g drops to a fraction of its
-    start-of-solve value — it must cut inner iterations without changing
-    the solution meaningfully (NEXT r2 #7: the absolute eps_k schedule
-    never fires at large scales)."""
+    """eps_rel widens the acceptance target to a fraction of the per-node
+    data scale ||A_i^T b_i|| — it must cut inner iterations without
+    changing the solution meaningfully (NEXT r2 #7: the absolute eps_k
+    schedule never fires at large scales)."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -232,7 +232,7 @@ def test_eps_rel_relative_acceptance():
         geometry=GeometryConfig(N=16, num_nodes=3, angles_total=24),
         graph=GraphConfig(strategy="knn", k=1, seed=123),
         admm=AdmmConfig(
-            lam_tv=0.02, rho=2.0, max_iters=12, eps_pri=1e-9, eps_dual=1e-9,
+            lam_tv=0.02, rho=2.0, max_iters=40, eps_pri=1e-9, eps_dual=1e-9,
             node=NodeSolverConfig(
                 # eps0 unreachable (the 256^2+ regime in miniature): the
                 # absolute schedule never fires, so the budget rules and
@@ -246,15 +246,15 @@ def test_eps_rel_relative_acceptance():
     full = admm.run_admm(problem)
     rel_cfg = dataclasses.replace(
         cfg.admm,
-        node=dataclasses.replace(cfg.admm.node, eps_rel=0.05),
+        node=dataclasses.replace(cfg.admm.node, eps_rel=0.001),
     )
     rel = admm.run_admm(problem, rel_cfg)
     inner_full = np.nanmean(np.asarray(full.history["inner_iters"]))
     inner_rel = np.nanmean(np.asarray(rel.history["inner_iters"]))
-    assert inner_rel < 0.7 * inner_full, (inner_rel, inner_full)
+    assert inner_rel < 0.5 * inner_full, (inner_rel, inner_full)
     # Solutions agree to a few percent (the node solves are looser but the
     # consensus loop converges to the same point).
     ref = np.asarray(full.x)
     got = np.asarray(rel.x)
     err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-9)
-    assert err < 0.05, err
+    assert err < 0.06, err
