@@ -219,9 +219,11 @@ def _node_colnorms(mode: str, cfg: GeometryConfig, angles, valid, A=None):
     if mode.startswith("fft") and not cfg.fan_beam:
         from dip_admm_tpu.ops import radon_fft
 
-        W = jax.vmap(lambda a, v: radon_fft.colnorms_sq(cfg, a, v))(
-            angles, valid
-        )
+        # jit: the frequency-domain colnorms use complex ops, which the
+        # axon backend cannot execute eagerly.
+        W = jax.jit(
+            jax.vmap(lambda a, v: radon_fft.colnorms_sq(cfg, a, v))
+        )(angles, valid)
     elif mode.startswith("fft") and cfg.fan_beam:
         # Rebinned fan operator: EXACT per-pixel column norms including the
         # rebin-filter attenuation and the node's row mask (node-batched;
