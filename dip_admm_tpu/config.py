@@ -85,11 +85,16 @@ class NodeSolverConfig:
 
     max_inner: int = 200
     check_every: int = 10
-    # Inner algorithm: "cv" = Condat-Vu (smooth LS part by gradient) or
-    # "ppdhg" = diagonally preconditioned PDHG (Pock-Chambolle steps from
-    # matrix-free |K| row/column sums — the standard CT recipe; typically
-    # converges further within the same budget).
+    # Inner algorithm: "cv" = Condat-Vu (smooth LS part by gradient),
+    # "pcv" = per-pixel SART/Jacobi preconditioned CV, "ppdhg" = diagonally
+    # preconditioned PDHG (Pock-Chambolle steps from matrix-free |K|
+    # row/column sums — the standard CT recipe), or "fista" = accelerated
+    # proximal gradient with warm-started Chambolle TV prox and
+    # gradient-restart momentum.
     algorithm: str = "cv"
+    # Chambolle dual-ascent iterations per FISTA step (the prox warm-starts
+    # from the node's TV dual field, so a handful suffice).
+    fista_prox_iters: int = 8
     eps0: float = 2.0
     gamma_decay: float = 0.005
     sigma_scale: float = 1.0  # dual step scale relative to default

@@ -115,6 +115,8 @@ def save_checkpoint(path: str, state: AdmmState, hist: dict) -> None:
         ux=np.asarray(state.node.ux),
         uy=np.asarray(state.node.uy),
         ua=np.asarray(state.node.ua),
+        xp=np.asarray(state.node.xp),
+        tk=np.asarray(state.node.tk),
         Z=np.asarray(state.Z),
         Y=np.asarray(state.Y),
         k=np.asarray(state.k),
@@ -144,7 +146,10 @@ def load_checkpoint_orbax(path: str) -> tuple[AdmmState, dict]:
     ckptr = ocp.StandardCheckpointer()
     payload = ckptr.restore(os.path.abspath(path))
     s = payload["state"]
-    node = NodeState(**{k: jnp.asarray(v) for k, v in s["node"].items()})
+    nd = {k: jnp.asarray(v) for k, v in s["node"].items()}
+    nd.setdefault("xp", jnp.zeros_like(nd["x"]))  # pre-fista checkpoints
+    nd.setdefault("tk", jnp.ones((nd["x"].shape[0],), nd["x"].dtype))
+    node = NodeState(**nd)
     state = AdmmState(
         node=node,
         Z=jnp.asarray(s["Z"]),
@@ -164,6 +169,12 @@ def load_checkpoint(path: str) -> tuple[AdmmState, dict]:
             ux=jnp.asarray(z["ux"]),
             uy=jnp.asarray(z["uy"]),
             ua=jnp.asarray(z["ua"]),
+            # Momentum fields are absent in pre-fista checkpoints; their
+            # neutral values reproduce the old behavior exactly.
+            xp=jnp.asarray(z["xp"]) if "xp" in z.files
+            else jnp.zeros_like(jnp.asarray(z["x"])),
+            tk=jnp.asarray(z["tk"]) if "tk" in z.files
+            else jnp.ones((z["x"].shape[0],), jnp.asarray(z["x"]).dtype),
         ),
         Z=jnp.asarray(z["Z"]),
         Y=jnp.asarray(z["Y"]),

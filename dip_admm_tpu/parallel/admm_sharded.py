@@ -123,7 +123,9 @@ def _run_sharded_jit(
         for name, per_node in core_admm.HISTORY_FIELDS
     }
     state_specs = AdmmState(
-        node=node_solver.NodeState(x=node, ux=node, uy=node, ua=node),
+        node=node_solver.NodeState(
+            x=node, ux=node, uy=node, ua=node, xp=node, tk=node
+        ),
         Z=node, Y=node, k=repl, stop=repl,
     )
     out_specs = AdmmResult(

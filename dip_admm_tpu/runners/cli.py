@@ -36,11 +36,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-inner", type=int, default=None,
                    help="inner iteration budget per node solve (default 200 "
                         "= the reference's SCS cap; 50 under --recommended)")
-    p.add_argument("--algorithm", choices=["cv", "pcv", "ppdhg"],
+    p.add_argument("--algorithm", choices=["cv", "pcv", "ppdhg", "fista"],
                    default="cv",
                    help="inner node-solver algorithm (cv = Condat-Vu, "
                         "pcv = SART/Jacobi-preconditioned CV, ppdhg = "
-                        "Pock-Chambolle preconditioned PDHG)")
+                        "Pock-Chambolle preconditioned PDHG, fista = "
+                        "accelerated proximal gradient with Chambolle "
+                        "TV prox)")
     p.add_argument("--eps0", type=float, default=2.0,
                    help="inexactness schedule eps_k = eps0/(k+1)^(1+gamma) "
                         "(ref block_6 ver2:100-103)")

@@ -185,6 +185,62 @@ def test_ppdhg_tv_matches_cv():
     np.testing.assert_allclose(out["ppdhg"], out["cv"], atol=5e-2)
 
 
+def test_fista_ridge_oracle():
+    # The production fista branch (momentum + Chambolle prox; with lam_tv=0
+    # the prox is the identity) must reach the ridge closed form.
+    A, b, fwd, adj, opnorm, N = _random_problem()
+    P, m, n = A.shape
+    mu, rho = 0.5, 2.0
+    D_vec = jnp.full((P, n), mu)
+    cfg = NodeSolverConfig(max_inner=4000, check_every=50,
+                           algorithm="fista", plateau_tol=0.0)
+    L = opnorm + rho * mu
+    res = node_solver.solve_nodes(
+        fwd, adj, b, D_vec, jnp.zeros((P, n)), jnp.zeros(P),
+        0.0, rho, L, node_solver.init_state(P, N, b.shape[1]),
+        jnp.asarray(1e-5), cfg, N,
+    )
+    for i in range(P):
+        expected = np.asarray(linalg.ridge_solve(A[i], b[i], rho * mu))
+        np.testing.assert_allclose(
+            np.asarray(res.state.x[i]), expected, rtol=2e-3, atol=2e-3
+        )
+
+
+def test_fista_tv_matches_oracle():
+    # Production batched fista (warm-started inexact prox, gradient restart)
+    # against the independent exact-prox FISTA oracle.
+    A, b, fwd, adj, opnorm, N = _random_problem(P=1, m=48, n_side=8, seed=1)
+    P, m, n = A.shape
+    lam_tv, rho, mu = 0.05, 1.0, 0.3
+    D_vec = jnp.full((P, n), mu)
+    b_cons = jnp.zeros((P, n))
+    L = opnorm + rho * mu
+    cfg = NodeSolverConfig(max_inner=6000, check_every=100,
+                           algorithm="fista", plateau_tol=0.0)
+    res = node_solver.solve_nodes(
+        fwd, adj, b, D_vec, b_cons, jnp.zeros(P), lam_tv, rho, L,
+        node_solver.init_state(P, N, b.shape[1]), jnp.asarray(1e-6), cfg, N,
+    )
+    x_ref = _fista_tv_reference(
+        A[0], b[0], D_vec[0], b_cons[0], lam_tv, rho, float(L[0]), N,
+        iters=800,
+    )
+
+    def objective(x):
+        r = A[0] @ x - b[0]
+        quad = 0.5 * rho * jnp.sum(D_vec[0] * x * x)
+        return (0.5 * jnp.sum(r * r)
+                + lam_tv * tv.tv_value(x.reshape(N, N)) + quad)
+
+    o_prod = float(objective(res.state.x[0]))
+    o_ref = float(objective(x_ref))
+    assert abs(o_prod - o_ref) <= 1e-3 * max(abs(o_ref), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(res.state.x[0]), np.asarray(x_ref), atol=5e-2
+    )
+
+
 def test_pcv_ridge_oracle():
     # SART-preconditioned CV must also reach the ridge solution (nonneg op).
     A, b, fwd, adj, opnorm, N = _random_problem()
