@@ -111,6 +111,21 @@ def make_history(T: int, P_loc: int, dtype=jnp.float32) -> dict:
     return hist
 
 
+def grow_history(hist: dict, max_iters: int) -> dict:
+    """NaN-pad history buffers along the iteration axis to ``max_iters``
+    (resuming a checkpoint written under a config with fewer outer
+    iterations). Buffers already at least that long pass through."""
+    out = {}
+    for name, v in hist.items():
+        cur = v.shape[0]
+        if cur >= max_iters:
+            out[name] = v
+        else:
+            pad = jnp.full((max_iters - cur,) + v.shape[1:], jnp.nan, v.dtype)
+            out[name] = jnp.concatenate([v, pad], axis=0)
+    return out
+
+
 def admm_iteration(
     data: NodeBlockData,
     cfg: AdmmConfig,

@@ -125,6 +125,41 @@ def save_checkpoint(path: str, state: AdmmState, hist: dict) -> None:
     )
 
 
+def save_checkpoint_async(path: str, state: AdmmState, hist: dict) -> None:
+    """Queue the same payload as :func:`save_checkpoint` on the native C++
+    packer thread (``native/checkpoint_packer.cpp``) — the solve loop never
+    blocks on zlib/zipfile. Falls back to the synchronous numpy writer when
+    the native toolchain is unavailable. Call :func:`flush_checkpoints`
+    before reading the file back (the write is also atomic: tmp + rename).
+    """
+    from dip_admm_tpu.utils import native_checkpoint as nc
+
+    if not nc.available():
+        return save_checkpoint(path, state, hist)
+    payload = {
+        "x": np.asarray(state.node.x),
+        "ux": np.asarray(state.node.ux),
+        "uy": np.asarray(state.node.uy),
+        "ua": np.asarray(state.node.ua),
+        "xp": np.asarray(state.node.xp),
+        "tk": np.asarray(state.node.tk),
+        "Z": np.asarray(state.Z),
+        "Y": np.asarray(state.Y),
+        "k": np.asarray(state.k),
+        "stop": np.asarray(state.stop),
+        **{f"hist_{k}": np.asarray(v) for k, v in hist.items()},
+    }
+    nc.pack_npz(path, payload)
+
+
+def flush_checkpoints() -> None:
+    """Block until queued :func:`save_checkpoint_async` writes hit disk."""
+    from dip_admm_tpu.utils import native_checkpoint as nc
+
+    if nc.available():
+        nc.flush()
+
+
 def save_checkpoint_orbax(path: str, state: AdmmState, hist: dict) -> None:
     """Orbax-backed checkpoint (async-capable, multi-host aware) of the same
     payload as :func:`save_checkpoint`."""

@@ -93,6 +93,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--snapshot-every", type=int, default=None,
                    help="write per-node reconstruction snapshots every K "
                         "outer iterations (ref block_6 ver2:269-281)")
+    p.add_argument("--checkpoint-every", type=int, default=None,
+                   help="run in K-iteration segments, queueing the full "
+                        "loop state to <out>/<tag>/checkpoint.npz on the "
+                        "native async packer after each segment (chunked "
+                        "orchestrator capability, ref block_6 ver2:269-281)")
+    p.add_argument("--resume", default=None, metavar="CKPT",
+                   help="resume from a checkpoint.npz written by "
+                        "--checkpoint-every (exact continuation)")
     p.add_argument("--per-node-phantoms", action="store_true",
                    help="each node measures its own randomized phantom "
                         "(build-mode loader parity, ref "
@@ -231,6 +239,8 @@ def main(argv=None) -> None:
         _, _, summary = experiment.run_one_strategy(
             cfg, out_root, mesh=mesh, mode=mode, per_node_phantoms=pnp,
             snapshot_every=snap,
+            checkpoint_every=getattr(args, "checkpoint_every", None),
+            resume=getattr(args, "resume", None),
         )
         return {args.strategy: summary}
 

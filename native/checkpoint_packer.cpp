@@ -1,0 +1,313 @@
+// Native asynchronous checkpoint packer: multi-array .npz (zip) writes.
+//
+// The ADMM loop's checkpoint payload (node state + edge state + the full
+// NaN-padded history) is tens-to-hundreds of MB at 256^2+; the numpy path
+// (np.savez_compressed) deflates it on the Python thread, blocking the
+// solve for seconds per checkpoint. This packer copies the buffers at
+// submit time and builds an uncompressed (stored) zip on a background
+// thread — np.load reads it back unchanged, and float image/state data
+// barely compresses anyway. Files land atomically (tmp + rename) so an
+// interrupted run never leaves a truncated checkpoint behind.
+//
+// Capability anchor: the reference's chunked checkpoint/resume orchestrator
+// (block_6_admm_loop_ver2.py:269-281 snapshot writes, SURVEY.md section 5
+// checkpoint/resume row); this is the TPU-native runtime half, in C++ like
+// the rest of native/.
+//
+// C API (ctypes-friendly):
+//   cp_init(n_threads)                 start the worker pool (idempotent)
+//   cp_begin() -> handle               open a new pack
+//   cp_add(handle, name, dtype, data, shape, ndim)   copy one array in
+//   cp_commit(handle, path)            queue the async zip write
+//   cp_abort(handle)                   drop an unfinished pack
+//   cp_flush()                         block until queued writes hit disk
+// dtype codes: 0='<f4' 1='<f8' 2='<i4' 3='<i8' 4='|b1' 5='|u1'.
+// All submit calls copy their buffers; callers may free immediately.
+
+#include <zlib.h>
+
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <deque>
+#include <functional>
+#include <map>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Pool {
+  std::deque<std::function<void()>> q;
+  std::mutex mu;
+  std::condition_variable cv;
+  std::condition_variable cv_done;
+  std::vector<std::thread> workers;
+  int active = 0;
+  bool stop = false;
+
+  void run() {
+    for (;;) {
+      std::function<void()> job;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv.wait(lk, [&] { return stop || !q.empty(); });
+        if (stop && q.empty()) return;
+        job = std::move(q.front());
+        q.pop_front();
+        ++active;
+      }
+      job();
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        --active;
+        if (q.empty() && active == 0) cv_done.notify_all();
+      }
+    }
+  }
+
+  void start(int n) {
+    std::lock_guard<std::mutex> lk(mu);
+    while ((int)workers.size() < n) {
+      workers.emplace_back([this] { run(); });
+      // Detached: the pool lives for the process; callers synchronize via
+      // cp_flush(), and detaching avoids std::terminate at static
+      // destruction of joinable threads.
+      workers.back().detach();
+    }
+  }
+
+  void submit(std::function<void()> job) {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      q.push_back(std::move(job));
+    }
+    cv.notify_one();
+  }
+
+  void flush() {
+    std::unique_lock<std::mutex> lk(mu);
+    cv_done.wait(lk, [&] { return q.empty() && active == 0; });
+  }
+};
+
+Pool& pool() {
+  // Intentionally leaked (see artifact_writer.cpp): detached workers must
+  // outlive static destruction; the threads die with the process.
+  static Pool* p = new Pool();
+  return *p;
+}
+
+struct DtypeInfo {
+  const char* descr;
+  size_t size;
+};
+
+bool dtype_info(int code, DtypeInfo* out) {
+  switch (code) {
+    case 0: *out = {"<f4", 4}; return true;
+    case 1: *out = {"<f8", 8}; return true;
+    case 2: *out = {"<i4", 4}; return true;
+    case 3: *out = {"<i8", 8}; return true;
+    case 4: *out = {"|b1", 1}; return true;
+    case 5: *out = {"|u1", 1}; return true;
+    default: return false;
+  }
+}
+
+std::vector<uint8_t> encode_npy(const uint8_t* data, const DtypeInfo& dt,
+                                const long* shape, int ndim) {
+  std::string hdr = "{'descr': '";
+  hdr += dt.descr;
+  hdr += "', 'fortran_order': False, 'shape': (";
+  size_t count = 1;
+  for (int i = 0; i < ndim; ++i) {
+    char buf[32];
+    std::snprintf(buf, sizeof buf, "%ld", shape[i]);
+    hdr += buf;
+    if (ndim == 1 || i + 1 < ndim) hdr += ",";
+    if (i + 1 < ndim) hdr += " ";
+    count *= (size_t)shape[i];
+  }
+  hdr += "), }";
+  size_t total = 10 + hdr.size() + 1;  // magic+ver+len + header + '\n'
+  size_t pad = (64 - (total % 64)) % 64;
+  hdr.append(pad, ' ');
+  hdr += '\n';
+
+  std::vector<uint8_t> out;
+  out.reserve(10 + hdr.size() + count * dt.size);
+  const char magic[] = "\x93NUMPY";
+  out.insert(out.end(), magic, magic + 6);
+  out.push_back(1);
+  out.push_back(0);
+  out.push_back((uint8_t)(hdr.size() & 0xff));
+  out.push_back((uint8_t)(hdr.size() >> 8));
+  out.insert(out.end(), hdr.begin(), hdr.end());
+  out.insert(out.end(), data, data + count * dt.size);
+  return out;
+}
+
+struct Member {
+  std::string name;  // zip member name, e.g. "x.npy"
+  std::vector<uint8_t> bytes;
+};
+
+struct Packs {
+  std::mutex mu;
+  std::map<long long, std::vector<Member>> open;
+  long long next_id = 1;
+};
+
+Packs& packs() {
+  static Packs* p = new Packs();
+  return *p;
+}
+
+void put_le16(std::vector<uint8_t>& v, uint16_t x) {
+  v.push_back(x & 0xff);
+  v.push_back((x >> 8) & 0xff);
+}
+
+void put_le32(std::vector<uint8_t>& v, uint32_t x) {
+  v.push_back(x & 0xff);
+  v.push_back((x >> 8) & 0xff);
+  v.push_back((x >> 16) & 0xff);
+  v.push_back((x >> 24) & 0xff);
+}
+
+// Minimal stored-method zip (np.load-compatible). Sizes are checked by
+// cp_commit against the zip32 limits before the job is queued.
+void write_zip(const std::string& path, const std::vector<Member>& members) {
+  std::vector<uint8_t> out;
+  struct DirEnt {
+    std::string name;
+    uint32_t crc, size, offset;
+  };
+  std::vector<DirEnt> dir;
+  for (const auto& m : members) {
+    uint32_t offset = (uint32_t)out.size();
+    uint32_t crc = crc32(0, m.bytes.data(), (uInt)m.bytes.size());
+    uint32_t sz = (uint32_t)m.bytes.size();
+    put_le32(out, 0x04034b50);           // local file header
+    put_le16(out, 20);                   // version needed
+    put_le16(out, 0);                    // flags
+    put_le16(out, 0);                    // method: stored
+    put_le16(out, 0);                    // mod time
+    put_le16(out, 0);                    // mod date
+    put_le32(out, crc);
+    put_le32(out, sz);                   // compressed size
+    put_le32(out, sz);                   // uncompressed size
+    put_le16(out, (uint16_t)m.name.size());
+    put_le16(out, 0);                    // extra len
+    out.insert(out.end(), m.name.begin(), m.name.end());
+    out.insert(out.end(), m.bytes.begin(), m.bytes.end());
+    dir.push_back({m.name, crc, sz, offset});
+  }
+  uint32_t dir_start = (uint32_t)out.size();
+  for (const auto& d : dir) {
+    put_le32(out, 0x02014b50);           // central directory header
+    put_le16(out, 20);                   // version made by
+    put_le16(out, 20);                   // version needed
+    put_le16(out, 0);                    // flags
+    put_le16(out, 0);                    // method
+    put_le16(out, 0);                    // time
+    put_le16(out, 0);                    // date
+    put_le32(out, d.crc);
+    put_le32(out, d.size);
+    put_le32(out, d.size);
+    put_le16(out, (uint16_t)d.name.size());
+    put_le16(out, 0);                    // extra
+    put_le16(out, 0);                    // comment
+    put_le16(out, 0);                    // disk number
+    put_le16(out, 0);                    // internal attrs
+    put_le32(out, 0);                    // external attrs
+    put_le32(out, d.offset);
+    out.insert(out.end(), d.name.begin(), d.name.end());
+  }
+  uint32_t dir_size = (uint32_t)out.size() - dir_start;
+  put_le32(out, 0x06054b50);             // end of central directory
+  put_le16(out, 0);                      // disk
+  put_le16(out, 0);                      // dir disk
+  put_le16(out, (uint16_t)dir.size());
+  put_le16(out, (uint16_t)dir.size());
+  put_le32(out, dir_size);
+  put_le32(out, dir_start);
+  put_le16(out, 0);                      // comment len
+
+  std::string tmp = path + ".tmp";
+  FILE* f = std::fopen(tmp.c_str(), "wb");
+  if (!f) return;
+  std::fwrite(out.data(), 1, out.size(), f);
+  std::fclose(f);
+  std::rename(tmp.c_str(), path.c_str());
+}
+
+}  // namespace
+
+extern "C" {
+
+int cp_init(int n_threads) {
+  pool().start(n_threads > 0 ? n_threads : 1);
+  return 0;
+}
+
+long long cp_begin() {
+  auto& ps = packs();
+  std::lock_guard<std::mutex> lk(ps.mu);
+  long long id = ps.next_id++;
+  ps.open[id];  // create empty
+  return id;
+}
+
+int cp_add(long long handle, const char* name, int dtype,
+           const uint8_t* data, const long* shape, int ndim) {
+  if (ndim < 0 || ndim > 8) return 1;
+  DtypeInfo dt;
+  if (!dtype_info(dtype, &dt)) return 1;
+  std::vector<uint8_t> npy =
+      encode_npy(data, dt, shape, ndim);
+  auto& ps = packs();
+  std::lock_guard<std::mutex> lk(ps.mu);
+  auto it = ps.open.find(handle);
+  if (it == ps.open.end()) return 2;
+  it->second.push_back({std::string(name) + ".npy", std::move(npy)});
+  return 0;
+}
+
+int cp_commit(long long handle, const char* path) {
+  std::vector<Member> members;
+  {
+    auto& ps = packs();
+    std::lock_guard<std::mutex> lk(ps.mu);
+    auto it = ps.open.find(handle);
+    if (it == ps.open.end()) return 2;
+    members = std::move(it->second);
+    ps.open.erase(it);
+  }
+  // zip32 guard: headers + members must stay under 4 GiB and < 65535 files.
+  size_t total = 22;
+  for (const auto& m : members)
+    total += 2 * (30 + 16 + m.name.size()) + m.bytes.size() + 46;
+  if (total >= 0xFFFFFFF0ull || members.size() >= 0xFFFF) return 3;
+  std::string p(path);
+  pool().submit([p, members = std::move(members)] { write_zip(p, members); });
+  return 0;
+}
+
+int cp_abort(long long handle) {
+  auto& ps = packs();
+  std::lock_guard<std::mutex> lk(ps.mu);
+  ps.open.erase(handle);
+  return 0;
+}
+
+int cp_flush() {
+  pool().flush();
+  return 0;
+}
+
+}  // extern "C"

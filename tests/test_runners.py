@@ -74,6 +74,43 @@ def test_cli_main(tmp_path, capsys):
     assert out["knn"]["n_iters"] == 3
 
 
+def test_run_one_strategy_checkpointing(tmp_path):
+    # Segmented run with periodic async checkpoints matches the straight
+    # run exactly, and --resume continues an interrupted run to the same
+    # final state.
+    import dataclasses
+
+    from dip_admm_tpu.data import serialization
+
+    cfg = tiny_cfg()
+    x_ref, _, _ = experiment.run_one_strategy(
+        cfg, str(tmp_path / "ref"), write_artifacts=False
+    )
+    x_ck, _, summary = experiment.run_one_strategy(
+        cfg, str(tmp_path / "ck"), write_artifacts=False, checkpoint_every=2
+    )
+    np.testing.assert_allclose(x_ck, x_ref, rtol=1e-6, atol=1e-6)
+    ckpt = os.path.join(summary["out_dir"], "checkpoint.npz")
+    assert os.path.exists(ckpt)
+    state, _ = serialization.load_checkpoint(ckpt)
+    assert int(state.k) == 4
+
+    # Interrupt at 2 iterations (max_iters=2 run), then resume to 4.
+    cfg2 = dataclasses.replace(
+        cfg, admm=dataclasses.replace(cfg.admm, max_iters=2)
+    )
+    _, _, s2 = experiment.run_one_strategy(
+        cfg2, str(tmp_path / "part"), write_artifacts=False,
+        checkpoint_every=2,
+    )
+    x_res, _, _ = experiment.run_one_strategy(
+        cfg, str(tmp_path / "res"), write_artifacts=False,
+        checkpoint_every=2,
+        resume=os.path.join(s2["out_dir"], "checkpoint.npz"),
+    )
+    np.testing.assert_allclose(x_res, x_ref, rtol=1e-6, atol=1e-6)
+
+
 def test_cli_node_solver_flags(tmp_path, capsys):
     """--algorithm/--eps0/--check-every/--plateau-tol reach the node config."""
     args = cli.build_parser().parse_args([

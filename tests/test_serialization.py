@@ -96,6 +96,40 @@ def test_snapshots(tmp_path):
     assert files[0].startswith("iter_0002_")
 
 
+def test_checkpoint_native_async_roundtrip(tmp_path):
+    # The C++ packer's stored-zip .npz must load back bit-identically to
+    # the numpy writer's payload (np.load reads both), and resuming from it
+    # must reproduce the uninterrupted run exactly.
+    import pytest
+
+    from dip_admm_tpu.utils import native_checkpoint as nc
+
+    if not nc.available():
+        pytest.skip("native toolchain unavailable")
+    problem = loader.build_problem(_cfg(max_iters=8))
+    full = admm.run_admm(problem)
+    part = admm.run_admm(problem, until=4)
+
+    path_native = str(tmp_path / "ckpt_native.npz")
+    path_numpy = str(tmp_path / "ckpt_numpy.npz")
+    serialization.save_checkpoint_async(path_native, part.state, part.history)
+    serialization.save_checkpoint(path_numpy, part.state, part.history)
+    serialization.flush_checkpoints()
+
+    za, zb = np.load(path_native), np.load(path_numpy)
+    assert sorted(za.files) == sorted(zb.files)
+    for k in zb.files:
+        assert za[k].dtype == zb[k].dtype, k
+        np.testing.assert_array_equal(za[k], zb[k], err_msg=k)
+
+    state, hist = serialization.load_checkpoint(path_native)
+    assert int(state.k) == 4
+    resumed = admm.run_admm(problem, problem.cfg.admm, state=state, hist=hist)
+    np.testing.assert_allclose(
+        np.asarray(resumed.x), np.asarray(full.x), rtol=1e-6, atol=1e-6
+    )
+
+
 def test_checkpoint_orbax_roundtrip(tmp_path):
     problem = loader.build_problem(_cfg(max_iters=6))
     part = admm.run_admm(problem, until=3)
