@@ -99,7 +99,6 @@ class NodeSolverConfig:
     gamma_decay: float = 0.005
     sigma_scale: float = 1.0  # dual step scale relative to default
     warm_start: bool = True
-    stationarity: str = "subgrad"  # "subgrad" (reference formula) | "dual"
     # Early exit when ||g|| stops improving between checks (all nodes):
     # relative decrease below this => the normalized-subgradient residual has
     # hit its floor and further inner iterations are wasted. SCS behaves the

@@ -180,6 +180,12 @@ def solve_nodes(
             return st._replace(x=x_new, ux=ux, uy=uy, ua=ua)
 
     elif cfg.algorithm == "fista":
+        # Momentum is meaningful only within ONE subproblem: across outer
+        # iterations b_cons/D_vec change, so a carried-over (xp, tk) pair
+        # extrapolates against the *previous* objective and the first step
+        # overshoots before the gradient restart can fire. Keep x and the TV
+        # dual as the warm start; reset the t-sequence.
+        state = state._replace(xp=state.x, tk=jnp.ones_like(state.tk))
         # Accelerated proximal gradient (FISTA, Beck-Teboulle 2009) on
         # f(x) + lam*TV(x): gradient step on the smooth LS+quadratic part at
         # the momentum point, then prox_{tau*lam*TV} by Chambolle projected

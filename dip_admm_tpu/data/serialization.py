@@ -38,19 +38,30 @@ def _cfg_to_json(cfg: ProblemConfig) -> str:
     return json.dumps(dataclasses.asdict(cfg))
 
 
+def _known(cls, d: dict) -> dict:
+    """Drop keys that are no longer dataclass fields (problems saved under
+    older configs stay loadable after a knob is removed)."""
+    names = {f.name for f in dataclasses.fields(cls)}
+    return {k: v for k, v in d.items() if k in names}
+
+
 def _cfg_from_json(s: str) -> ProblemConfig:
     d = json.loads(s)
     return ProblemConfig(
-        geometry=GeometryConfig(**d["geometry"]),
-        graph=GraphConfig(**d["graph"]),
+        geometry=GeometryConfig(**_known(GeometryConfig, d["geometry"])),
+        graph=GraphConfig(**_known(GraphConfig, d["graph"])),
         admm=AdmmConfig(
-            **{**d["admm"], "node": NodeSolverConfig(**d["admm"]["node"])}
+            **{
+                **_known(AdmmConfig, d["admm"]),
+                "node": NodeSolverConfig(
+                    **_known(NodeSolverConfig, d["admm"]["node"])
+                ),
+            }
         ),
-        **{
-            k: v
-            for k, v in d.items()
-            if k not in ("geometry", "graph", "admm")
-        },
+        **_known(
+            ProblemConfig,
+            {k: v for k, v in d.items() if k not in ("geometry", "graph", "admm")},
+        ),
     )
 
 
@@ -107,36 +118,8 @@ def load_problem(path: str) -> Problem:
     )
 
 
-def save_checkpoint(path: str, state: AdmmState, hist: dict) -> None:
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez_compressed(
-        path,
-        x=np.asarray(state.node.x),
-        ux=np.asarray(state.node.ux),
-        uy=np.asarray(state.node.uy),
-        ua=np.asarray(state.node.ua),
-        xp=np.asarray(state.node.xp),
-        tk=np.asarray(state.node.tk),
-        Z=np.asarray(state.Z),
-        Y=np.asarray(state.Y),
-        k=np.asarray(state.k),
-        stop=np.asarray(state.stop),
-        **{f"hist_{k}": np.asarray(v) for k, v in hist.items()},
-    )
-
-
-def save_checkpoint_async(path: str, state: AdmmState, hist: dict) -> None:
-    """Queue the same payload as :func:`save_checkpoint` on the native C++
-    packer thread (``native/checkpoint_packer.cpp``) — the solve loop never
-    blocks on zlib/zipfile. Falls back to the synchronous numpy writer when
-    the native toolchain is unavailable. Call :func:`flush_checkpoints`
-    before reading the file back (the write is also atomic: tmp + rename).
-    """
-    from dip_admm_tpu.utils import native_checkpoint as nc
-
-    if not nc.available():
-        return save_checkpoint(path, state, hist)
-    payload = {
+def _checkpoint_payload(state: AdmmState, hist: dict) -> dict:
+    return {
         "x": np.asarray(state.node.x),
         "ux": np.asarray(state.node.ux),
         "uy": np.asarray(state.node.uy),
@@ -149,7 +132,36 @@ def save_checkpoint_async(path: str, state: AdmmState, hist: dict) -> None:
         "stop": np.asarray(state.stop),
         **{f"hist_{k}": np.asarray(v) for k, v in hist.items()},
     }
-    nc.pack_npz(path, payload)
+
+
+def _save_npz(path: str, payload: dict) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez_compressed(path, **payload)
+
+
+def save_checkpoint(path: str, state: AdmmState, hist: dict) -> None:
+    _save_npz(path, _checkpoint_payload(state, hist))
+
+
+def save_checkpoint_async(path: str, state: AdmmState, hist: dict) -> None:
+    """Queue the same payload as :func:`save_checkpoint` on the native C++
+    packer thread (``native/checkpoint_packer.cpp``) — the solve loop never
+    blocks on zlib/zipfile. Falls back to the synchronous numpy writer when
+    the native toolchain is unavailable. Call :func:`flush_checkpoints`
+    before reading the file back (the write is also atomic: tmp + rename).
+    """
+    from dip_admm_tpu.utils import native_checkpoint as nc
+
+    payload = _checkpoint_payload(state, hist)
+    if not nc.available():
+        return _save_npz(path, payload)
+    try:
+        nc.pack_npz(path, payload)
+    except RuntimeError:
+        # The packer writes zip32 archives; past ~4 GiB of state (reachable:
+        # Z/Y are [P, P, n]) it refuses rather than truncate. numpy's zipfile
+        # writes zip64, so the synchronous writer still succeeds.
+        _save_npz(path, payload)
 
 
 def flush_checkpoints() -> None:

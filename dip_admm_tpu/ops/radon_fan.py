@@ -317,12 +317,18 @@ def precompute_fan_grouped(
     )
     if valid is None:
         valid = jnp.ones((P, m), bool)
+    # Everything but the per-node row masks is node-SHARED geometry: the
+    # "shared" subtree is the placement contract with
+    # ``parallel.mesh.table_partition_specs`` (replicate over the node mesh
+    # axis; per-node leaves shard by their leading dim).
     return {
-        "par": par,
-        "rebin_re": Rre.astype(jnp.float32),  # [D, F]
-        "rebin_im": Rim.astype(jnp.float32),
-        "Bre": Bre, "Bim": Bim,  # [m, F] forward DFT of the angle axis
-        "Dre": Dre, "Dim": Dim,  # [F, m] irfft coefficients
+        "shared": {
+            "par": par,
+            "rebin_re": Rre.astype(jnp.float32),  # [D, F]
+            "rebin_im": Rim.astype(jnp.float32),
+            "Bre": Bre, "Bim": Bim,  # [m, F] forward DFT of the angle axis
+            "Dre": Dre, "Dim": Dim,  # [F, m] irfft coefficients
+        },
         "fan_valid": valid.astype(jnp.float32),  # [P, m]
     }
 
@@ -366,11 +372,13 @@ def project_nodes_fan_grouped(cfg: GeometryConfig, imgs, tables):
     cfg_par = _parallel_cfg(cfg)
 
     def one(img):
-        return radon_fft.project_nodes_grouped(cfg_par, img[None], t["par"])[0]
+        return radon_fft.project_nodes_grouped(
+            cfg_par, img[None], t["shared"]["par"]
+        )[0]
 
     p = jax.vmap(one)(imgs)  # [P, T_p, D]
     p2 = jnp.concatenate([p, p[:, :, ::-1]], axis=1)  # [P, m, D]
-    out = _rebin_apply(p2, t)
+    out = _rebin_apply(p2, t["shared"])
     return (out * t["fan_valid"][:, :, None]).astype(imgs.dtype)
 
 
@@ -383,12 +391,12 @@ def backproject_nodes_fan_grouped(cfg: GeometryConfig, sinos, tables):
     cfg_par = _parallel_cfg(cfg)
     T_p = t["fan_valid"].shape[1] // 2
     ob = sinos.astype(jnp.float32) * t["fan_valid"][:, :, None]
-    p2_bar = _rebin_apply_t(ob, t)
+    p2_bar = _rebin_apply_t(ob, t["shared"])
     p_bar = p2_bar[:, :T_p] + p2_bar[:, T_p:, ::-1]
 
     def one(pb):
         return radon_fft.backproject_nodes_grouped(
-            cfg_par, pb[None].astype(sinos.dtype), t["par"]
+            cfg_par, pb[None].astype(sinos.dtype), t["shared"]["par"]
         )[0]
 
     return jax.vmap(one)(p_bar).astype(sinos.dtype)

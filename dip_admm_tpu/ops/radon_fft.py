@@ -777,13 +777,20 @@ def precompute_shear(
 
     Ere, Eim, _, _ = jax.jit(_dft_mats, static_argnums=(0, 1))(N, Np)
     rep = jax.jit(lambda x: jnp.broadcast_to(x[None], (P,) + x.shape))
+    # Node-SHARED geometry lives under the "shared" subtree — the placement
+    # contract (parallel.mesh.table_partition_specs) replicates that subtree
+    # over the node mesh axis and shards everything else by its leading node
+    # dim (key-based because a twiddle table's leading dim D2 can equal the
+    # node count).
     return {
         "Wt": Wt,
         "SEre": SEre, "SEim": SEim,
-        "Phire": Phire, "Phiim": Phiim,
         "Wd": Wd,
         "TEre": TEre, "TEim": TEim,
-        "PhiDre": PhiDre, "PhiDim": PhiDim,
+        "shared": {
+            "Phire": Phire, "Phiim": Phiim,
+            "PhiDre": PhiDre, "PhiDim": PhiDim,
+        },
         "onehot": jnp.asarray(plan["onehot"]),
         "posfull": jnp.asarray(plan["posfull"]),
         "invposfull": jnp.asarray(plan["invposfull"]),
@@ -807,14 +814,15 @@ def project_nodes_shear(cfg: GeometryConfig, imgs, tables):
     )
 
     t = tables
+    sh = t["shared"]
     T = max(cfg.angles_per_node())
     rre2, rim2 = _plane_spectra(imgs, t)
     g_re, g_im = shear_sum_planes(
-        rre2, rim2, t["Wt"], t["SEre"], t["SEim"], t["Phire"], t["Phiim"],
+        rre2, rim2, t["Wt"], t["SEre"], t["SEim"], sh["Phire"], sh["Phiim"],
         t["plane"],
     )
     out_slot = eval_shear(
-        g_re, g_im, t["Wd"], t["TEre"], t["TEim"], t["PhiDre"], t["PhiDim"]
+        g_re, g_im, t["Wd"], t["TEre"], t["TEim"], sh["PhiDre"], sh["PhiDim"]
     )  # [P, Tp, D] in slot order (scale + masks folded into Wd)
     return permute_rows(out_slot, t["posfull"])[:, :T].astype(imgs.dtype)
 
@@ -826,13 +834,14 @@ def backproject_nodes_shear(cfg: GeometryConfig, sinos, tables):
     )
 
     t = tables
+    sh = t["shared"]
     ob = _pad_unpermute(sinos.astype(jnp.float32), t)  # [P, Tp, D] slots
     g_re_bar, g_im_bar = eval_shear_t(
-        ob, t["Wd"], t["TEre"], t["TEim"], t["PhiDre"], t["PhiDim"]
+        ob, t["Wd"], t["TEre"], t["TEim"], sh["PhiDre"], sh["PhiDim"]
     )
     rre2_bar, rim2_bar = shear_sum_planes_t(
         g_re_bar, g_im_bar, t["Wt"], t["SEre"], t["SEim"],
-        t["Phire"], t["Phiim"], t["plane"], t["pfirst"],
+        sh["Phire"], sh["Phiim"], t["plane"], t["pfirst"],
     )
     # Planes no angle block wrote are uninitialized kernel outputs.
     vis = t["pvisited"][:, :, None, None]

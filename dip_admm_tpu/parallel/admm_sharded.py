@@ -39,7 +39,12 @@ from dip_admm_tpu.core import admm as core_admm
 from dip_admm_tpu.core import node_solver
 from dip_admm_tpu.core.admm import AdmmResult, AdmmState, CommOps, NodeBlockData
 from dip_admm_tpu.data.loader import Problem
-from dip_admm_tpu.parallel.mesh import NODE_AXIS, make_mesh, shards_for
+from dip_admm_tpu.parallel.mesh import (
+    NODE_AXIS,
+    make_mesh,
+    shards_for,
+    table_partition_specs,
+)
 
 
 def _pair_transpose(axis_name: str):
@@ -112,12 +117,6 @@ def _run_sharded_jit(
             x=state_f.node.x, history=hist_f, n_iters=state_f.k, state=state_f
         )
 
-    def table_spec(x):
-        # Shard per-node tables (leading node axis) over the mesh; geometry
-        # shared across nodes (fft_shear's Phi twiddles, the fan path's
-        # single-set parallel tables) replicates.
-        return node if (getattr(x, "ndim", 0) > 0 and x.shape[0] == P) else repl
-
     hist_specs = {
         name: PS(None, NODE_AXIS) if per_node else repl
         for name, per_node in core_admm.HISTORY_FIELDS
@@ -131,7 +130,9 @@ def _run_sharded_jit(
     out_specs = AdmmResult(
         x=node, history=hist_specs, n_iters=repl, state=state_specs
     )
-    tables_spec = jax.tree.map(table_spec, tables_arg)
+    # Single source of truth with multihost.problem_shardings: per-node
+    # tables shard, node-shared geometry replicates (key- + shape-based).
+    tables_spec = table_partition_specs(tables_arg, P)
     in_specs = (
         node, node, node, tables_spec, node, node, node, node, repl, node,
         repl, state_specs, hist_specs, repl,

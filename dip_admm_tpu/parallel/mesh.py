@@ -12,9 +12,31 @@ from __future__ import annotations
 import numpy as np
 
 import jax
-from jax.sharding import Mesh
+from jax.sharding import Mesh, PartitionSpec as PS
 
 NODE_AXIS = "node"
+
+def table_partition_specs(tables, num_nodes: int):
+    """PartitionSpec pytree for a projector-table pytree: THE single source
+    of truth for table placement, used by both the shard_map runtime
+    (``admm_sharded`` in_specs) and host-side placement
+    (``multihost.distribute_problem``), so the two can never disagree.
+
+    Rule: every leaf under a ``"shared"`` subtree is node-shared geometry
+    (fft_shear's Phi twiddles, the fan path's single-set parallel tables and
+    rebin/DFT filters) and replicates; everything else is per-node and
+    shards by its leading node axis. The subtree marker exists because a
+    shared leaf's leading dim can coincide with the node count (e.g. Phi
+    [16, F] on a 16-node graph) — a shape heuristic alone would shard it."""
+
+    def spec(path, leaf):
+        if any(getattr(p, "key", None) == "shared" for p in path):
+            return PS()
+        if getattr(leaf, "ndim", 0) > 0 and leaf.shape[0] == num_nodes:
+            return PS(NODE_AXIS)
+        return PS()
+
+    return jax.tree_util.tree_map_with_path(spec, tables)
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:

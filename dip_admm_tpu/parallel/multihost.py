@@ -28,7 +28,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
 
 from dip_admm_tpu.data.loader import Problem
-from dip_admm_tpu.parallel.mesh import NODE_AXIS
+from dip_admm_tpu.parallel.mesh import NODE_AXIS, table_partition_specs
 
 
 def initialize(
@@ -61,7 +61,13 @@ def global_mesh(n_devices: Optional[int] = None) -> Mesh:
 
 
 def problem_shardings(problem: Problem, mesh: Mesh):
-    """PartitionSpec pytree matching run_admm_sharded's input contract."""
+    """PartitionSpec pytree matching run_admm_sharded's input contract.
+
+    Table leaves use the SAME key-/shape-based rule as the shard_map
+    runtime (``mesh.table_partition_specs``): per-node tables shard over
+    the node axis, node-shared geometry (fft_shear Phi twiddles, the fan
+    path's single-set parallel tables and rebin filters) replicates —
+    placement and in_specs can never disagree."""
     node = PS(NODE_AXIS)
     repl = PS()
     specs = dict(
@@ -69,7 +75,7 @@ def problem_shardings(problem: Problem, mesh: Mesh):
         b=node, W=node, Q=node, keep=node, adj=node,
         x_true=repl, opnorm=node,
         fft_tables=(
-            jax.tree.map(lambda _: node, problem.fft_tables)
+            table_partition_specs(problem.fft_tables, problem.num_nodes)
             if problem.fft_tables is not None
             else None
         ),

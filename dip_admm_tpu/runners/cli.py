@@ -82,7 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
                             "fft_mxu", "fft_grouped", "fft_shear"],
                    default="auto",
                    help="measurement-operator implementation (auto: dense "
-                        "for N<=128, fft_grouped above; fft for fan beam)")
+                        "for N<=128; above that fft_shear for parallel beam, "
+                        "fft_grouped for fan beam — the round-2 measured "
+                        "fastest, RESULTS.md A/B)")
     p.add_argument("--use-pallas", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="fused Pallas edge-consensus kernel (default: auto — "
@@ -233,6 +235,16 @@ def main(argv=None) -> None:
                 )
             }
         if args.all_strategies:
+            if getattr(args, "checkpoint_every", None) is not None or (
+                getattr(args, "resume", None) is not None
+            ):
+                # The segmented checkpoint driver is single-strategy; silently
+                # dropping the flags would leave a user believing their
+                # all-strategy run is checkpointed.
+                raise SystemExit(
+                    "--checkpoint-every/--resume are not supported with "
+                    "--all-strategies; run strategies individually"
+                )
             return experiment.run_all_strategies(
                 cfg, out_root, mesh=mesh, mode=mode, per_node_phantoms=pnp
             )

@@ -80,6 +80,10 @@ def run_one_strategy(
             "checkpoint_every and snapshot_every are separate segmented "
             "drivers; pass one or the other"
         )
+    if checkpoint_every is not None and checkpoint_every < 1:
+        # <= 0 would make every segment end at until == state.k: the loop
+        # body never advances and the segment driver spins forever.
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     if snapshot_every is not None:
         res = admm.run_admm_snapshots(
             problem, cfg.admm,

@@ -131,5 +131,15 @@ def pack_npz(path: str, arrays: dict) -> None:
 
 
 def flush() -> None:
-    """Block until all queued checkpoint writes have hit disk."""
-    _load().cp_flush()
+    """Block until all queued checkpoint writes have hit disk.
+
+    Raises ``RuntimeError`` if any background write failed (ENOSPC, bad
+    path, ...) — the packer keeps the previous checkpoint file intact on
+    failure, so the error is loud but the last good checkpoint survives.
+    """
+    n_failed = _load().cp_flush()
+    if n_failed:
+        raise RuntimeError(
+            f"{n_failed} async checkpoint write(s) failed; the previous "
+            "checkpoint file (if any) was left in place"
+        )

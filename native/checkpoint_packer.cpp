@@ -20,12 +20,16 @@
 //   cp_add(handle, name, dtype, data, shape, ndim)   copy one array in
 //   cp_commit(handle, path)            queue the async zip write
 //   cp_abort(handle)                   drop an unfinished pack
-//   cp_flush()                         block until queued writes hit disk
+//   cp_flush() -> n_failed             block until queued writes hit disk;
+//                                      returns #writes that FAILED since the
+//                                      last flush (previous file kept)
 // dtype codes: 0='<f4' 1='<f8' 2='<i4' 3='<i8' 4='|b1' 5='|u1'.
 // All submit calls copy their buffers; callers may free immediately.
 
+#include <unistd.h>
 #include <zlib.h>
 
+#include <atomic>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -179,6 +183,13 @@ void put_le32(std::vector<uint8_t>& v, uint32_t x) {
   v.push_back((x >> 24) & 0xff);
 }
 
+// Failed background writes since the last cp_flush. A checkpoint write that
+// fails (ENOSPC, permission, ...) must never silently replace or masquerade
+// as a good one: write_zip leaves the previous file in place on any error
+// and bumps this counter, which cp_flush returns (and clears) so the caller
+// can raise or fall back to the synchronous writer.
+std::atomic<int> g_write_errors{0};
+
 // Minimal stored-method zip (np.load-compatible). Sizes are checked by
 // cp_commit against the zip32 limits before the job is queued.
 void write_zip(const std::string& path, const std::vector<Member>& members) {
@@ -238,12 +249,22 @@ void write_zip(const std::string& path, const std::vector<Member>& members) {
   put_le32(out, dir_start);
   put_le16(out, 0);                      // comment len
 
+  // Atomic + checked: any failure (open, short write, fsync, close, rename)
+  // unlinks the tmp file and keeps the previous checkpoint intact.
   std::string tmp = path + ".tmp";
   FILE* f = std::fopen(tmp.c_str(), "wb");
-  if (!f) return;
-  std::fwrite(out.data(), 1, out.size(), f);
-  std::fclose(f);
-  std::rename(tmp.c_str(), path.c_str());
+  if (!f) {
+    ++g_write_errors;
+    return;
+  }
+  bool ok = std::fwrite(out.data(), 1, out.size(), f) == out.size();
+  if (ok) ok = std::fflush(f) == 0 && fsync(fileno(f)) == 0;
+  ok = (std::fclose(f) == 0) && ok;
+  if (ok) ok = std::rename(tmp.c_str(), path.c_str()) == 0;
+  if (!ok) {
+    std::remove(tmp.c_str());
+    ++g_write_errors;
+  }
 }
 
 }  // namespace
@@ -305,9 +326,11 @@ int cp_abort(long long handle) {
   return 0;
 }
 
+// Blocks until every queued write finished; returns the number of writes
+// that FAILED since the previous flush (0 = all checkpoints on disk).
 int cp_flush() {
   pool().flush();
-  return 0;
+  return g_write_errors.exchange(0);
 }
 
 }  // extern "C"

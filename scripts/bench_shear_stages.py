@@ -71,11 +71,11 @@ def main():
 
     def kernel(a, b, t):
         return shear_sum(a, b, t["Wt"], t["SEre"], t["SEim"],
-                         t["Phire"], t["Phiim"])
+                         t["shared"]["Phire"], t["shared"]["Phiim"])
 
     def tail(a, b, t):
         out = eval_shear(a, b, t["Wd"], t["TEre"], t["TEim"],
-                         t["PhiDre"], t["PhiDim"])
+                         t["shared"]["PhiDre"], t["shared"]["PhiDim"])
         return (permute_rows(out, t["posfull"])[:, :T],)
 
     def full_fwd(im, t):
@@ -84,11 +84,11 @@ def main():
     def tail_t(s, t):
         ob = radon_fft._pad_unpermute(s.astype(jnp.float32), t)
         return eval_shear_t(ob, t["Wd"], t["TEre"], t["TEim"],
-                            t["PhiDre"], t["PhiDim"])
+                            t["shared"]["PhiDre"], t["shared"]["PhiDim"])
 
     def kernel_t(a, b, t):
         return shear_sum_t(a, b, t["Wt"], t["SEre"], t["SEim"],
-                           t["Phire"], t["Phiim"], t["onehot"])
+                           t["shared"]["Phire"], t["shared"]["Phiim"], t["onehot"])
 
     def full_adj(s, t):
         return (radon_fft.backproject_nodes_shear(geo, s, t),)

@@ -88,7 +88,7 @@ def test_shear_kernel_matches_reference():
     rre_s = jax.random.normal(k[0], (P, TB, NB * nb, F))
     rim_s = jax.random.normal(k[1], (P, TB, NB * nb, F))
     args = (rre_s, rim_s, t["Wt"], t["SEre"], t["SEim"],
-            t["Phire"], t["Phiim"])
+            t["shared"]["Phire"], t["shared"]["Phiim"])
     got = ss.shear_sum(*args)
     ref = ss.shear_sum_reference(*args)
     for g, r in zip(got, ref):
@@ -99,9 +99,9 @@ def test_shear_kernel_matches_reference():
     gb = jax.random.normal(k[0], (P, Tp, F))
     gi = jax.random.normal(k[1], (P, Tp, F))
     got_t = ss.shear_sum_t(gb, gi, t["Wt"], t["SEre"], t["SEim"],
-                           t["Phire"], t["Phiim"], t["onehot"])
+                           t["shared"]["Phire"], t["shared"]["Phiim"], t["onehot"])
     f = lambda a, b: ss.shear_sum_reference(
-        a, b, t["Wt"], t["SEre"], t["SEim"], t["Phire"], t["Phiim"]
+        a, b, t["Wt"], t["SEre"], t["SEim"], t["shared"]["Phire"], t["shared"]["Phiim"]
     )
     ref_t = jax.linear_transpose(f, rre_s, rim_s)((gb, gi))
     for g, r in zip(got_t, ref_t):

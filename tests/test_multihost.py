@@ -97,3 +97,68 @@ def test_config5_shape_fan_32nodes():
     assert res.x.shape == (32, 256)
     pri = np.asarray(res.history["primal"])[:3]
     assert np.isfinite(pri).all()
+
+
+def test_distribute_fft_shear_placement_and_parity():
+    # The production parallel-beam projector (fft_shear) has node-SHARED
+    # twiddle leaves (Phi*/PhiD* [D2, F]); distribute_problem must replicate
+    # them (same rule as the runtime's in_specs) and the sharded run from
+    # the distributed arrays must match single-device.
+    problem = _problem(P=8, N=16, mode="fft_shear")
+    mesh = multihost.global_mesh(4)
+    dist = multihost.distribute_problem(problem, mesh)
+    for key in ("Phire", "Phiim", "PhiDre", "PhiDim"):
+        assert dist.fft_tables["shared"][key].sharding.is_fully_replicated, key
+    for key in ("Wt", "SEre", "plane"):
+        assert not dist.fft_tables[key].sharding.is_fully_replicated, key
+    got = admm_sharded.run_admm_sharded(dist, mesh=mesh)
+    ref = admm.run_admm(problem)
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x), rtol=3e-4, atol=3e-4
+    )
+
+
+def test_distribute_fan_grouped_placement_and_parity():
+    # The production fan projector (fft_grouped): the single-set parallel
+    # tables ("par" subtree) and rebin/DFT filters are node-shared.
+    cfg = ProblemConfig(
+        geometry=GeometryConfig(
+            N=16, num_nodes=8, angles_total=64, fan_beam=True,
+            det_width_factor=2.0, src_radius=4.0, det_radius=4.0,
+        ),
+        graph=GraphConfig(strategy="knn", k=1, seed=123),
+        admm=AdmmConfig(
+            lam_tv=0.02, rho=2.0, max_iters=3, eps_pri=1e-9, eps_dual=1e-9,
+            node=NodeSolverConfig(max_inner=20, check_every=10),
+        ),
+        phantom="const",
+    )
+    problem = loader.build_problem(cfg, mode="fft_grouped")
+    mesh = multihost.global_mesh(4)
+    dist = multihost.distribute_problem(problem, mesh)
+    import jax as _jax
+
+    for leaf in _jax.tree.leaves(dist.fft_tables["shared"]):
+        assert leaf.sharding.is_fully_replicated
+    assert not dist.fft_tables["fan_valid"].sharding.is_fully_replicated
+    got = admm_sharded.run_admm_sharded(dist, mesh=mesh)
+    ref = admm.run_admm(problem)
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x), rtol=3e-4, atol=3e-4
+    )
+
+
+def test_shared_leaf_leading_dim_collision():
+    # A 16-node graph makes the fft_shear twiddles' leading dim (D2=16 at
+    # small nb) EQUAL to the node count — the shape heuristic alone would
+    # shard them. The key-based rule must still replicate.
+    problem = _problem(P=16, N=8, mode="fft_shear")
+    assert problem.fft_tables["shared"]["Phire"].shape[0] == 16  # collision
+    mesh = multihost.global_mesh(8)
+    dist = multihost.distribute_problem(problem, mesh)
+    assert dist.fft_tables["shared"]["Phire"].sharding.is_fully_replicated
+    got = admm_sharded.run_admm_sharded(dist, mesh=mesh)
+    ref = admm.run_admm(problem)
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x), rtol=3e-4, atol=3e-4
+    )

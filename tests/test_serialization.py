@@ -142,3 +142,73 @@ def test_checkpoint_orbax_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(resumed.x), np.asarray(full.x), rtol=1e-6, atol=1e-6
     )
+
+
+def test_async_write_failure_raises(tmp_path):
+    # A background write that cannot land (tmp path occupied by a directory)
+    # must surface in flush_checkpoints, not silently drop the checkpoint.
+    import pytest
+
+    from dip_admm_tpu.utils import native_checkpoint as nc
+
+    if not nc.available():
+        pytest.skip("native toolchain unavailable")
+    problem = loader.build_problem(_cfg(max_iters=4))
+    part = admm.run_admm(problem, until=2)
+    path = str(tmp_path / "ckpt.npz")
+    (tmp_path / "ckpt.npz.tmp").mkdir()  # blocks fopen of the tmp file
+    serialization.save_checkpoint_async(path, part.state, part.history)
+    with pytest.raises(RuntimeError, match="checkpoint write"):
+        serialization.flush_checkpoints()
+    # The counter clears: a subsequent good write flushes cleanly.
+    (tmp_path / "ckpt.npz.tmp").rmdir()
+    serialization.save_checkpoint_async(path, part.state, part.history)
+    serialization.flush_checkpoints()
+    state, _ = serialization.load_checkpoint(path)
+    assert int(state.k) == 2
+
+
+def test_async_packer_fallback_on_overflow(tmp_path, monkeypatch):
+    # cp_commit refuses payloads past zip32 limits; save_checkpoint_async
+    # must fall back to the numpy (zip64-capable) writer, not crash the run.
+    from dip_admm_tpu.utils import native_checkpoint as nc
+
+    problem = loader.build_problem(_cfg(max_iters=4))
+    part = admm.run_admm(problem, until=2)
+    path = str(tmp_path / "ckpt.npz")
+    monkeypatch.setattr(nc, "available", lambda: True)
+    monkeypatch.setattr(
+        nc, "pack_npz",
+        lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("cp_commit failed (rc=3)")
+        ),
+    )
+    serialization.save_checkpoint_async(path, part.state, part.history)
+    state, hist = serialization.load_checkpoint(path)
+    assert int(state.k) == 2
+
+
+def test_cfg_json_tolerates_removed_fields():
+    # Problems saved under older configs may carry knobs that no longer
+    # exist (e.g. the removed NodeSolverConfig.stationarity) — loading must
+    # drop them, not crash.
+    import json
+
+    cfg = _cfg()
+    d = json.loads(serialization._cfg_to_json(cfg))
+    d["admm"]["node"]["stationarity"] = "subgrad"
+    d["geometry"]["legacy_knob"] = 1
+    loaded = serialization._cfg_from_json(json.dumps(d))
+    assert loaded == cfg
+
+
+def test_checkpoint_every_validation(tmp_path):
+    import pytest
+
+    from dip_admm_tpu.runners import experiment
+
+    cfg = _cfg(max_iters=2)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        experiment.run_one_strategy(
+            cfg, str(tmp_path), checkpoint_every=0, write_artifacts=False
+        )
