@@ -99,6 +99,7 @@ HISTORY_FIELDS = (
     ("img_mse_total", False),
     ("g_norm", True),
     ("eps_target", False),
+    ("eps_per_node", True),
     ("inner_iters", True),
 )
 
@@ -241,12 +242,17 @@ def admm_iteration(
         "img_mse_per_node": img_mse,
         "img_mse_total": img_mse_total,
         "g_norm": res.g_norm,
-        # scalar history slot; under eps_rel the target is per-node — record
-        # the loosest (the one that gates the batched solve's trip count)
+        # scalar slot: the loosest target (gates the batched trip count);
+        # eps_per_node: the eps actually applied to each node (differs under
+        # eps_rel) — the reference stores per-node eps used,
+        # block_6_admm_loop_ver2.py:310-326.
         "eps_target": jnp.max(jnp.atleast_1d(eps_k)),
-        "inner_iters": jnp.broadcast_to(
-            res.inner_iters.astype(X.dtype), (P_loc,)
+        "eps_per_node": jnp.broadcast_to(
+            jnp.atleast_1d(eps_k).astype(X.dtype), (P_loc,)
         ),
+        # per-node iterations to first acceptance (check_every granularity;
+        # reference per-node SCS counts, block_6_admm_loop_ver2.py:130-132)
+        "inner_iters": res.inner_iters.astype(X.dtype),
     }
     hist = {
         name: arr.at[k].set(updates[name].astype(arr.dtype))

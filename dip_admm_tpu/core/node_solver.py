@@ -57,7 +57,13 @@ class NodeSolveResult(NamedTuple):
     state: NodeState
     g_norm: jnp.ndarray  # [P] final stationarity residual norms
     objective: jnp.ndarray  # [P] node objective values
-    inner_iters: jnp.ndarray  # scalar: inner iterations used (max over nodes)
+    # [P] per-node iterations to FIRST acceptance (||g|| <= eps at a check,
+    # check_every granularity — the analogue of the reference's per-node SCS
+    # iteration counts, block_6_admm_loop_ver2.py:130-132). Nodes that never
+    # met the target record the full trip count (the batched solve runs all
+    # lanes to the slowest node).
+    inner_iters: jnp.ndarray
+    trip_count: jnp.ndarray  # scalar: iterations the batched solve executed
 
 
 def init_state(P: int, N: int, m: int, dtype=jnp.float32) -> NodeState:
@@ -227,13 +233,19 @@ def solve_nodes(
         any_reduce = lambda v: v
 
     def cond(carry):
-        st, k, g_norm, active = carry
+        st, k, g_norm, active, acc = carry
         return (k < cfg.max_inner) & active
 
     def body(carry):
-        st, k, g_prev, _ = carry
+        st, k, g_prev, _, acc = carry
         st = jax.lax.fori_loop(0, cfg.check_every, inner_step, st)
         g_norm = jnp.linalg.norm(g_residual(st.x), axis=1)
+        # Per-node first-acceptance iteration (check_every granularity):
+        # lanes keep running to the slowest node, but WHEN each node met its
+        # target is observable here and recorded for the history.
+        acc = jnp.where(
+            (acc < 0) & (g_norm <= eps_k), k + cfg.check_every, acc
+        )
         # eps_k may be a scalar or per-node [P] (the data-scale-relative
         # schedule folds in at the caller, core.admm.admm_iteration).
         unmet = jnp.any(g_norm > eps_k)
@@ -251,16 +263,19 @@ def solve_nodes(
             )
             unmet = unmet & improving
         active = any_reduce(unmet)
-        return st, k + cfg.check_every, g_norm, active
+        return st, k + cfg.check_every, g_norm, active, acc
 
     g0 = jnp.full((P,), jnp.inf, dtype)
-    st, k_used, g_norm, _ = jax.lax.while_loop(
-        cond, body, (state, jnp.int32(0), g0, jnp.asarray(True))
+    acc0 = jnp.full((P,), -1, jnp.int32)
+    st, k_used, g_norm, _, acc = jax.lax.while_loop(
+        cond, body, (state, jnp.int32(0), g0, jnp.asarray(True), acc0)
     )
     # If the loop never ran (already accepted), g0 is stale — recompute.
     g_norm = jnp.where(
         jnp.isinf(g_norm), jnp.linalg.norm(g_residual(st.x), axis=1), g_norm
     )
+    # Nodes that never met the target spent the full trip count.
+    inner_per_node = jnp.where(acc >= 0, acc, k_used)
 
     r = fwd(st.x) - b
     data_term = 0.5 * jnp.sum(r * r, axis=1)
@@ -271,4 +286,4 @@ def solve_nodes(
         + c_quad
     )
     objective = data_term + tv_term + quad
-    return NodeSolveResult(st, g_norm, objective, k_used)
+    return NodeSolveResult(st, g_norm, objective, inner_per_node, k_used)

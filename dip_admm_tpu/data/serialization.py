@@ -205,7 +205,23 @@ def load_checkpoint_orbax(path: str) -> tuple[AdmmState, dict]:
         stop=jnp.asarray(s["stop"]),
     )
     hist = {k: jnp.asarray(v) for k, v in payload["hist"].items()}
-    return state, hist
+    return state, _upgrade_history(hist)
+
+
+def _upgrade_history(hist: dict) -> dict:
+    """Backfill history fields added after a checkpoint was written (NaN,
+    like unreached iterations) so old checkpoints resume under the current
+    HISTORY_FIELDS contract — the sharded driver needs the full pytree."""
+    from dip_admm_tpu.core.admm import HISTORY_FIELDS
+
+    T = hist["primal"].shape[0]
+    P = hist["g_norm"].shape[1]
+    dtype = hist["primal"].dtype
+    for name, per_node in HISTORY_FIELDS:
+        if name not in hist:
+            shape = (T, P) if per_node else (T,)
+            hist[name] = jnp.full(shape, jnp.nan, dtype)
+    return hist
 
 
 def load_checkpoint(path: str) -> tuple[AdmmState, dict]:
@@ -233,4 +249,4 @@ def load_checkpoint(path: str) -> tuple[AdmmState, dict]:
         for k in z.files
         if k.startswith("hist_")
     }
-    return state, hist
+    return state, _upgrade_history(hist)
