@@ -63,6 +63,14 @@ def measure_tpu_throughput(N=256, P=8, timed_iters=20, dtype="float32",
         # f32 XLA fft path at this size).
         fft_table_dtype="bfloat16",
     )
+    # Touch the device once before timing: the relay's FIRST dispatch in a
+    # process intermittently stalls for minutes (tunnel bring-up; measured
+    # 0.5 s typical, 190-360 s outliers on an 8x8 matmul / small fetch).
+    # build_s measures problem construction, not connection setup.
+    import jax.numpy as jnp
+
+    float((jnp.ones((8, 8)) @ jnp.ones((8, 8))).sum())
+
     build_start = time.perf_counter()
     # mode=None -> the loader's auto choice (dense at N<=128; above that
     # fft_shear for parallel beam) — keeping the headline on the same path

@@ -25,6 +25,43 @@ consensus is a masked pairwise-average collective over ICI.
 
 __version__ = "0.1.0"
 
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache, on by default.
+
+    Problem construction compiles ~6 independent programs (tables, forward,
+    colnorms, graph, opnorms); on this class of host the compiles dominate
+    build time (measured 33 s of a 256^2/8 build, vs ~5 s of device work).
+    The persistent cache makes every process after the first skip them
+    (measured 14.3 s -> 1.2 s on a representative compile through the TPU
+    backend). Opt out with DIP_ADMM_NO_XLA_CACHE=1; relocate with
+    DIP_ADMM_XLA_CACHE=<dir>. A user-configured jax cache dir wins.
+    """
+    import os
+
+    if os.environ.get("DIP_ADMM_NO_XLA_CACHE"):
+        return
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:
+        return  # already configured by the user/environment
+    path = os.environ.get(
+        "DIP_ADMM_XLA_CACHE",
+        os.path.join(
+            os.path.expanduser("~"), ".cache", "dip_admm_tpu", "xla"
+        ),
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # Default min_compile_time (1 s) skips trivial kernels; entries are
+        # keyed on backend+flags so CPU tests and TPU runs coexist.
+    except (OSError, AttributeError):
+        pass  # unwritable home / very old jax: run without the cache
+
+
+_enable_compilation_cache()
+
 from dip_admm_tpu.config import (  # noqa: F401
     GeometryConfig,
     GraphConfig,

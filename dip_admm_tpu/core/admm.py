@@ -44,20 +44,42 @@ from dip_admm_tpu.core.node_solver import NodeState
 from dip_admm_tpu.data.loader import Problem
 
 
+_identity = lambda v: v  # noqa: E731
+
+
 class CommOps(NamedTuple):
-    """Collective hooks. ``pair_transpose``: [P_loc, P, n] -> value at the
-    swapped (j, i) pair (all_to_all across shards). ``psum``: global scalar /
-    vector reduction across shards."""
+    """Collective hooks shared by the single-device and sharded loops.
+
+    The iteration body is written against these so one implementation serves
+    three layouts: local (all identities), a 1-D node mesh, and a 2-D
+    node x pixel mesh where the [P_loc, P, n_loc] edge state (Z/Y/Q — the
+    HBM ceiling at many nodes) is additionally sharded along the pixel axis
+    while node solves keep full images.
+
+    - ``pair_transpose``: [P_loc, P, n_loc] -> value at the swapped (j, i)
+      pair (all_to_all over the node axis).
+    - ``psum``: total reduction of pixel-PARTIAL quantities (node [+ pixel]).
+    - ``any_reduce``: cross-shard boolean OR (inner-solve trip lockstep).
+    - ``psum_repl``: node-axis reduction of pixel-REPLICATED quantities
+      (node-solve outputs: objectives, measurement/image MSE).
+    - ``psum_pixel``: pixel-axis completion of per-node partial sums.
+    - ``gather_pixels``: [..., n_loc] -> [..., n] (all_gather, pixel axis).
+    - ``my_pixels``: [..., n] -> [..., n_loc] (this shard's pixel block).
+    """
 
     pair_transpose: Callable[[jnp.ndarray], jnp.ndarray]
     psum: Callable[[jnp.ndarray], jnp.ndarray]
-    any_reduce: Callable[[jnp.ndarray], jnp.ndarray]  # cross-shard boolean OR
+    any_reduce: Callable[[jnp.ndarray], jnp.ndarray]
+    psum_repl: Callable[[jnp.ndarray], jnp.ndarray] = _identity
+    psum_pixel: Callable[[jnp.ndarray], jnp.ndarray] = _identity
+    gather_pixels: Callable[[jnp.ndarray], jnp.ndarray] = _identity
+    my_pixels: Callable[[jnp.ndarray], jnp.ndarray] = _identity
 
 
 LOCAL_COMM = CommOps(
     pair_transpose=lambda M: jnp.swapaxes(M, 0, 1),
-    psum=lambda v: v,
-    any_reduce=lambda v: v,
+    psum=_identity,
+    any_reduce=_identity,
 )
 
 
@@ -134,17 +156,22 @@ def admm_iteration(
     state: AdmmState,
     hist: dict,
 ) -> tuple[AdmmState, dict]:
-    """One outer consensus iteration over this shard's node block."""
-    P_loc, P, n = data.Q.shape
+    """One outer consensus iteration over this shard's node block.
+
+    Edge-state tensors (Z/Y/Q) may carry only this shard's pixel block
+    (n_loc = n on the local and 1-D node-mesh paths); node-solve tensors
+    always carry full images — ``comm`` bridges the two layouts.
+    """
+    P_loc, P, n_loc = data.Q.shape
     k = state.k
     X, Z, Y = state.node.x, state.Z, state.Y
     am = data.adjm[:, :, None]
 
     # --- neighbor terms for the node subproblems (ref ver2:85-95) ---
     V = Z - Y  # v_ij = z_ij - y_ij,i
-    D_vec = jnp.sum(data.Q, axis=1)  # [P_loc, n]
-    b_cons = jnp.sum(data.Q * V, axis=1)
-    c_quad = jnp.sum(data.Q * V * V, axis=(1, 2))
+    D_vec = comm.gather_pixels(jnp.sum(data.Q, axis=1))  # [P_loc, n]
+    b_cons = comm.gather_pixels(jnp.sum(data.Q * V, axis=1))
+    c_quad = comm.psum_pixel(jnp.sum(data.Q * V * V, axis=(1, 2)))
 
     # --- inexact node solve with adaptive target (ref ver2:100-176) ---
     decay = (k.astype(X.dtype) + 1.0) ** (1.0 + cfg.node.gamma_decay)
@@ -177,12 +204,13 @@ def admm_iteration(
     # --- edge fusion z-update (eq. 2 / ref ver2:210-223) ---
     # Over-relaxation (Boyd sec. 3.4.3): x̂_ij = alpha*x_i + (1-alpha)*z_ij
     # replaces x_i in the z/y updates and residuals; alpha=1 is the
-    # reference algorithm. a_i = x̂_ij + y_ij,i laid out [i_loc, j, n].
+    # reference algorithm. a_i = x̂_ij + y_ij,i laid out [i_loc, j, n_loc].
+    Xn_e = comm.my_pixels(Xn)  # this shard's pixel block of the new iterate
     if cfg.relax_alpha != 1.0:
-        Xh = cfg.relax_alpha * Xn[:, None, :] + (1.0 - cfg.relax_alpha) * Z
+        Xh = cfg.relax_alpha * Xn_e[:, None, :] + (1.0 - cfg.relax_alpha) * Z
         A_prop = Xh + Y
     else:
-        A_prop = Xn[:, None, :] + Y
+        A_prop = Xn_e[:, None, :] + Y
     A_T = comm.pair_transpose(A_prop)  # [i_loc, j, n] -> a_j = x̂_j + y_ij,j
     if cfg.z_fusion not in ("midpoint", "weighted"):
         raise ValueError("z_fusion must be 'midpoint' or 'weighted'")
@@ -196,17 +224,18 @@ def admm_iteration(
 
         Zn, Yn, pri_pair, dz2_pair = pallas_consensus.consensus_update(
             A_prop, Y, Z, A_T, data.adjm,
-            w_own=data.W_own, w_all=data.W_all, fusion=cfg.z_fusion,
-            tile=pallas_consensus.pick_tile(n),
+            w_own=comm.my_pixels(data.W_own),
+            w_all=comm.my_pixels(data.W_all),
+            fusion=cfg.z_fusion,
+            tile=pallas_consensus.pick_tile(n_loc),
             interpret=jax.default_backend() != "tpu",
         )
-        pri_node = jnp.sum(pri_pair, axis=1)  # [P_loc]
-        dz2 = jnp.sum(dz2_pair, axis=1)
-        r2 = comm.psum(jnp.sum(pri_node))
+        pri_part = jnp.sum(pri_pair, axis=1)  # [P_loc], pixel-partial
+        dz2_part = jnp.sum(dz2_pair, axis=1)
     else:
         if cfg.z_fusion == "weighted":
-            Wi = data.W_own[:, None, :]
-            Wj = data.W_all[None, :, :]
+            Wi = comm.my_pixels(data.W_own)[:, None, :]
+            Wj = comm.my_pixels(data.W_all)[None, :, :]
             Zn = (Wi * A_prop + Wj * A_T) / (Wi + Wj)
         else:
             Zn = 0.5 * (A_prop + A_T)
@@ -217,18 +246,23 @@ def admm_iteration(
 
         # --- residuals (eqs. 4-5 / ref ver2:232-264): x̂ - z = a - y - z ---
         dpri = (A_prop - Y - Zn) * am
-        pri_node = jnp.sum(dpri * dpri, axis=(1, 2))  # [P_loc]
-        r2 = comm.psum(jnp.sum(pri_node))
+        pri_part = jnp.sum(dpri * dpri, axis=(1, 2))  # [P_loc], pixel-partial
         dz = (Zn - Z) * am
-        dz2 = jnp.sum(dz * dz, axis=(1, 2))
-    dual_node = cfg.rho**2 * dz2
-    s2 = 0.5 * cfg.rho**2 * comm.psum(jnp.sum(dz2))
+        dz2_part = jnp.sum(dz * dz, axis=(1, 2))
+    r2 = comm.psum(jnp.sum(pri_part))
+    s2 = 0.5 * cfg.rho**2 * comm.psum(jnp.sum(dz2_part))
+    # Per-node history values need the pixel-axis completion of the
+    # partial sums (identity on the local / node-mesh paths).
+    pri_node = comm.psum_pixel(pri_part)
+    dual_node = cfg.rho**2 * comm.psum_pixel(dz2_part)
     pri_norm = jnp.sqrt(r2)
     dual_norm = jnp.sqrt(s2)
 
-    obj_total = comm.psum(jnp.sum(res.objective))
-    mse_sino_total = comm.psum(jnp.sum(mse_sino))
-    img_mse_total = comm.psum(jnp.sum(img_mse))
+    # Node-solve outputs are replicated along the pixel axis: reduce over
+    # the node axis only (== comm.psum everywhere except the 2-D mesh).
+    obj_total = comm.psum_repl(jnp.sum(res.objective))
+    mse_sino_total = comm.psum_repl(jnp.sum(mse_sino))
+    img_mse_total = comm.psum_repl(jnp.sum(img_mse))
 
     updates = {
         "primal": pri_norm,

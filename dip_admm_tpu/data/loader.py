@@ -250,6 +250,28 @@ def _jit_forward(mode, geo, angles, valid, A, tables, x):
     return fwd(x)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("q_mode", "strategy", "k", "seed")
+)
+def _build_graph_layer(W, q_mode, strategy, k, seed):
+    """Pairwise precisions + per-pixel masks + union adjacency as ONE
+    program: eagerly these are ~10 dispatches on [P, P, n] tensors, each
+    paying a relay round trip (measured ~6 s of the 256^2/8 build)."""
+    q_full = precisions.pairwise_q(W, q_mode)
+    keep = topology.build_pixel_masks(q_full, strategy=strategy, k=k, seed=seed)
+    Q = q_full * keep  # masked provider semantics
+    adj = topology.union_adjacency(keep)
+    return Q, keep, adj
+
+
+@jax.jit
+def _make_b(clean, noise_level, seed, row_valid):
+    """Noisy sinograms b = clean + sigma * N(0,1) on valid rows
+    (ref ``block_2_test.py:54-60``), one program instead of ~5 dispatches."""
+    noise = jax.random.normal(jax.random.PRNGKey(seed), clean.shape, clean.dtype)
+    return clean + noise_level * noise * row_valid
+
+
 @functools.partial(jax.jit, static_argnames=("mode", "geo", "iters"))
 def _estimate_opnorms(mode, geo, angles, valid, A, tables, iters: int = 30):
     """Batched power-method estimates of ||A_i^T A_i|| for solver steps."""
@@ -392,18 +414,14 @@ def build_problem(
 
     # Noise only on valid measurement rows (sigma * N(0,1),
     # ref ``block_2_test.py:54-60``).
-    noise = jax.random.normal(jax.random.PRNGKey(cfg.noise_seed), clean.shape, dtype)
-    row_valid = jnp.repeat(valid, D, axis=1)
-    b = clean + cfg.noise_level * noise * row_valid
+    row_valid = jnp.repeat(valid, D, axis=1).astype(dtype)
+    b = _make_b(clean, cfg.noise_level, cfg.noise_seed, row_valid)
 
     # Precision weights and per-pixel graph.
     W = _node_colnorms(mode, geo, angles, valid, A).astype(dtype)
-    q_full = precisions.pairwise_q(W, cfg.graph.q_mode)
-    keep = topology.build_pixel_masks(
-        q_full, strategy=cfg.graph.strategy, k=cfg.graph.k, seed=cfg.graph.seed
+    Q, keep, adj = _build_graph_layer(
+        W, cfg.graph.q_mode, cfg.graph.strategy, cfg.graph.k, cfg.graph.seed
     )
-    Q = q_full * keep  # masked provider semantics
-    adj = topology.union_adjacency(keep)
 
     opnorm = _estimate_opnorms(mode, geo, angles, valid, A, fft_tables)
     return Problem(
@@ -418,14 +436,8 @@ def rebuild_graph(problem: Problem, graph_cfg) -> Problem:
     graph (the reference reruns block-3 per strategy on fixed pickled data,
     ``block_7_main_ver3.py:63-72``)."""
     cfg = dataclasses.replace(problem.cfg, graph=graph_cfg)
-    q_full = precisions.pairwise_q(problem.W, graph_cfg.q_mode)
-    keep = topology.build_pixel_masks(
-        q_full, strategy=graph_cfg.strategy, k=graph_cfg.k, seed=graph_cfg.seed
+    Q, keep, adj = _build_graph_layer(
+        problem.W, graph_cfg.q_mode, graph_cfg.strategy, graph_cfg.k,
+        graph_cfg.seed,
     )
-    return dataclasses.replace(
-        problem,
-        cfg=cfg,
-        Q=q_full * keep,
-        keep=keep,
-        adj=topology.union_adjacency(keep),
-    )
+    return dataclasses.replace(problem, cfg=cfg, Q=Q, keep=keep, adj=adj)

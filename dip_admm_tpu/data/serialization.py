@@ -65,7 +65,43 @@ def _cfg_from_json(s: str) -> ProblemConfig:
     )
 
 
-def save_problem(problem: Problem, path: str) -> None:
+def _flatten_tables(d: dict, prefix: str = "") -> dict:
+    out = {}
+    for k, v in d.items():
+        kk = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten_tables(v, kk + "/"))
+        else:
+            out[kk] = v
+    return out
+
+
+def _unflatten_tables(flat: dict) -> dict:
+    out: dict = {}
+    for k, v in flat.items():
+        parts = k.split("/")
+        cur = out
+        for p in parts[:-1]:
+            cur = cur.setdefault(p, {})
+        cur[parts[-1]] = v
+    return out
+
+
+# npz key prefixes for persisted projector tables. bf16 leaves round-trip as
+# uint16 bit views (numpy's zip format voids ml_dtypes arrays).
+_TBL = "__tbl__/"
+_TBL16 = "__tbl16__/"
+
+
+def save_problem(problem: Problem, path: str, include_tables: bool = True) -> None:
+    """Persist the full Problem as a portable .npz + JSON config.
+
+    ``include_tables`` (default) also stores the precomputed projector
+    geometry tables, so :func:`load_problem` skips the table build, the
+    dominant derived-state cost — a reloaded problem pays IO only. Stored
+    uncompressed (np.savez): float tables barely deflate and the write/read
+    speed is the point of persisting them.
+    """
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     arrays = {
         "angles": problem.angles,
@@ -80,11 +116,21 @@ def save_problem(problem: Problem, path: str) -> None:
     }
     if problem.A is not None:
         arrays["A"] = problem.A
-    np.savez_compressed(
+    out = {k: np.asarray(v) for k, v in arrays.items()}
+    if include_tables and problem.fft_tables is not None:
+        import ml_dtypes
+
+        for k, v in _flatten_tables(problem.fft_tables).items():
+            a = np.asarray(v)
+            if a.dtype == ml_dtypes.bfloat16:
+                out[_TBL16 + k] = a.view(np.uint16)
+            else:
+                out[_TBL + k] = a
+    np.savez(
         path,
         __cfg__=np.frombuffer(_cfg_to_json(problem.cfg).encode(), dtype=np.uint8),
         __mode__=np.frombuffer(problem.mode.encode(), dtype=np.uint8),
-        **{k: np.asarray(v) for k, v in arrays.items()},
+        **out,
     )
 
 
@@ -94,13 +140,26 @@ def load_problem(path: str) -> Problem:
     mode = bytes(z["__mode__"]).decode()
     fft_tables = None
     if mode.startswith("fft"):
-        # Geometry tables are derived state — rebuild rather than store.
-        from dip_admm_tpu.data.loader import build_fft_tables
+        flat = {}
+        for k in z.files:
+            if k.startswith(_TBL):
+                flat[k[len(_TBL):]] = jnp.asarray(z[k])
+            elif k.startswith(_TBL16):
+                import ml_dtypes
 
-        fft_tables = build_fft_tables(
-            cfg, jnp.asarray(z["angles"]), jnp.asarray(z["angle_valid"]),
-            mode,
-        )
+                flat[k[len(_TBL16):]] = jnp.asarray(
+                    z[k].view(ml_dtypes.bfloat16)
+                )
+        if flat:
+            fft_tables = _unflatten_tables(flat)
+        else:
+            # Problem saved without tables: rebuild the derived state.
+            from dip_admm_tpu.data.loader import build_fft_tables
+
+            fft_tables = build_fft_tables(
+                cfg, jnp.asarray(z["angles"]), jnp.asarray(z["angle_valid"]),
+                mode,
+            )
     return Problem(
         fft_tables=fft_tables,
         cfg=cfg,

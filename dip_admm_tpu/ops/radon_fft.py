@@ -662,8 +662,11 @@ def precompute_shear(
     # f in VMEM, so large blocks are free — and the slot-spectrum
     # materialization (the [P, TB, N, F] onehot gather, the dominant
     # overhead at 512^2) shrinks with TB = Tp/tt.
+    # One combined device->host fetch: through the socket relay each
+    # transfer serializes behind queued work and can stall for seconds.
+    use_r_np, valid_np = jax.device_get((use_r, valid))
     plan = filter_mxu.plan_branch_groups(
-        ~np.asarray(use_r), np.asarray(valid), tt_candidates=(32, 16, 8)
+        ~use_r_np, valid_np, tt_candidates=(32, 16, 8)
     )
     Tp = int(plan["Tp"])
 

@@ -41,6 +41,7 @@ from dip_admm_tpu.core.admm import AdmmResult, AdmmState, CommOps, NodeBlockData
 from dip_admm_tpu.data.loader import Problem
 from dip_admm_tpu.parallel.mesh import (
     NODE_AXIS,
+    PIXEL_AXIS,
     make_mesh,
     shards_for,
     table_partition_specs,
@@ -75,9 +76,18 @@ def _run_sharded_jit(
     P_loc = shards_for(P, mesh)
     dtype = b.dtype
     N = pcfg.geometry.N
+    # Optional pixel axis: shards the [P_loc, P, n] edge state (Z/Y/Q) along
+    # the pixel dim — node solves keep full images (replicated compute along
+    # this axis), the per-pixel consensus and its all_to_all payload split.
+    dp = int(mesh.shape.get(PIXEL_AXIS, 1))
+    n = pcfg.geometry.n
+    if n % dp != 0:
+        raise ValueError(f"n={n} must be divisible by pixel mesh size {dp}")
+    n_loc = n // dp
 
     node = PS(NODE_AXIS)
     repl = PS()
+    edge = PS(NODE_AXIS, None, PIXEL_AXIS) if dp > 1 else node
 
     def shard_body(
         angles, valid, A, tables, b, Q, adjm, W_blk, W_all, L_blk, x_true,
@@ -96,13 +106,36 @@ def _run_sharded_jit(
             W_own=W_blk, W_all=W_all, L=L_blk, x_true=x_true, N=N,
             g_scale=jnp.linalg.norm(adj(b), axis=1),
         )
-        comm = CommOps(
-            pair_transpose=_pair_transpose(NODE_AXIS),
-            psum=_psum(NODE_AXIS),
-            any_reduce=lambda v: jax.lax.pmax(
-                v.astype(jnp.int32), NODE_AXIS
-            ).astype(bool),
-        )
+        # Inner-solve quantities are identical across pixel shards (their
+        # inputs are pixel-gathered/replicated), so any_reduce and psum_repl
+        # reduce over the node axis only.
+        node_psum = _psum(NODE_AXIS)
+        if dp > 1:
+            comm = CommOps(
+                pair_transpose=_pair_transpose(NODE_AXIS),
+                psum=_psum((NODE_AXIS, PIXEL_AXIS)),
+                any_reduce=lambda v: jax.lax.pmax(
+                    v.astype(jnp.int32), NODE_AXIS
+                ).astype(bool),
+                psum_repl=node_psum,
+                psum_pixel=_psum(PIXEL_AXIS),
+                gather_pixels=lambda v: jax.lax.all_gather(
+                    v, PIXEL_AXIS, axis=v.ndim - 1, tiled=True
+                ),
+                my_pixels=lambda v: jax.lax.dynamic_slice_in_dim(
+                    v, jax.lax.axis_index(PIXEL_AXIS) * n_loc, n_loc,
+                    axis=v.ndim - 1,
+                ),
+            )
+        else:
+            comm = CommOps(
+                pair_transpose=_pair_transpose(NODE_AXIS),
+                psum=node_psum,
+                any_reduce=lambda v: jax.lax.pmax(
+                    v.astype(jnp.int32), NODE_AXIS
+                ).astype(bool),
+                psum_repl=node_psum,
+            )
 
         def cond(carry):
             st, _ = carry
@@ -125,7 +158,7 @@ def _run_sharded_jit(
         node=node_solver.NodeState(
             x=node, ux=node, uy=node, ua=node, xp=node, tk=node
         ),
-        Z=node, Y=node, k=repl, stop=repl,
+        Z=edge, Y=edge, k=repl, stop=repl,
     )
     out_specs = AdmmResult(
         x=node, history=hist_specs, n_iters=repl, state=state_specs
@@ -134,7 +167,7 @@ def _run_sharded_jit(
     # tables shard, node-shared geometry replicates (key- + shape-based).
     tables_spec = table_partition_specs(tables_arg, P)
     in_specs = (
-        node, node, node, tables_spec, node, node, node, node, repl, node,
+        node, node, node, tables_spec, node, edge, node, node, repl, node,
         repl, state_specs, hist_specs, repl,
     )
     f = jax.shard_map(

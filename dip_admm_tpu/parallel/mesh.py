@@ -15,6 +15,11 @@ import jax
 from jax.sharding import Mesh, PartitionSpec as PS
 
 NODE_AXIS = "node"
+# Optional second mesh axis sharding the [P_loc, P, n] edge state (Z/Y/Q)
+# along the pixel dim — the HBM ceiling once the node axis is exhausted
+# (per-pixel consensus is embarrassingly parallel; node solves keep full
+# images and replicate along this axis).
+PIXEL_AXIS = "pixel"
 
 def table_partition_specs(tables, num_nodes: int):
     """PartitionSpec pytree for a projector-table pytree: THE single source
@@ -39,15 +44,24 @@ def table_partition_specs(tables, num_nodes: int):
     return jax.tree_util.tree_map_with_path(spec, tables)
 
 
-def make_mesh(n_devices: int | None = None) -> Mesh:
+def make_mesh(n_devices: int | None = None, pixel: int = 1) -> Mesh:
+    """1-D node mesh, or a 2-D (node x pixel) mesh when ``pixel`` > 1.
+
+    ``n_devices`` counts the NODE axis; total devices used =
+    ``n_devices * pixel``. Consecutive devices land on the pixel axis (the
+    innermost, highest-bandwidth ICI neighbors carry the per-iteration
+    pixel all_gather)."""
     devices = jax.devices()
-    if n_devices is not None:
-        if n_devices > len(devices):
-            raise ValueError(
-                f"requested {n_devices} devices, only {len(devices)} present"
-            )
-        devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), (NODE_AXIS,))
+    n_node = n_devices if n_devices is not None else len(devices) // pixel
+    need = n_node * pixel
+    if need > len(devices):
+        raise ValueError(
+            f"requested {n_node}x{pixel} devices, only {len(devices)} present"
+        )
+    if pixel == 1:
+        return Mesh(np.asarray(devices[:need]), (NODE_AXIS,))
+    grid = np.asarray(devices[:need]).reshape(n_node, pixel)
+    return Mesh(grid, (NODE_AXIS, PIXEL_AXIS))
 
 
 def shards_for(num_nodes: int, mesh: Mesh) -> int:

@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--all-strategies", action="store_true")
     p.add_argument("--mesh", type=int, default=None,
                    help="shard nodes over this many devices")
+    p.add_argument("--mesh-pixel", type=int, default=1,
+                   help="additionally shard the [P, P, n] edge state over "
+                        "this many devices along the pixel axis (total "
+                        "devices = --mesh * --mesh-pixel; the HBM-scaling "
+                        "axis once the node axis is exhausted)")
     p.add_argument("--matrix-free", action="store_true",
                    help="force the matrix-free projector (mode=fft)")
     p.add_argument("--mode",
@@ -209,7 +214,7 @@ def main(argv=None) -> None:
     if args.mesh:
         from dip_admm_tpu.parallel import mesh as meshlib
 
-        mesh = meshlib.make_mesh(args.mesh)
+        mesh = meshlib.make_mesh(args.mesh, pixel=args.mesh_pixel)
 
     from dip_admm_tpu.runners import experiment
 

@@ -212,3 +212,38 @@ def test_checkpoint_every_validation(tmp_path):
         experiment.run_one_strategy(
             cfg, str(tmp_path), checkpoint_every=0, write_artifacts=False
         )
+
+
+def test_problem_roundtrip_with_tables(tmp_path):
+    # Persisted projector tables (incl. bf16 leaves as uint16 bit views)
+    # must reload bit-exactly and produce the identical operator, skipping
+    # the table rebuild.
+    import jax
+    import jax.numpy as jnp
+
+    cfg = dataclasses.replace(
+        _cfg(max_iters=4), fft_table_dtype="bfloat16"
+    )
+    problem = loader.build_problem(cfg, mode="fft_shear")
+    path = str(tmp_path / "problem_tbl.npz")
+    serialization.save_problem(problem, path)
+    loaded = serialization.load_problem(path)
+    assert loaded.mode == "fft_shear"
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        problem.fft_tables, loaded.fft_tables,
+    )
+    x = jnp.ones((problem.num_nodes, problem.n), problem.b.dtype)
+    np.testing.assert_array_equal(
+        np.asarray(problem.forward(x)), np.asarray(loaded.forward(x))
+    )
+    # Without tables the loader falls back to rebuilding them.
+    path2 = str(tmp_path / "problem_notbl.npz")
+    serialization.save_problem(problem, path2, include_tables=False)
+    reloaded = serialization.load_problem(path2)
+    np.testing.assert_allclose(
+        np.asarray(problem.forward(x)), np.asarray(reloaded.forward(x)),
+        rtol=1e-6, atol=1e-6,
+    )

@@ -226,3 +226,55 @@ def test_sharded_fan_grouped_parity():
     np.testing.assert_allclose(
         np.asarray(got.x), np.asarray(ref.x), rtol=2e-4, atol=2e-4
     )
+
+
+def test_pixel_axis_parity_2x4():
+    # 2-D (node x pixel) mesh: Z/Y/Q shard along the pixel axis, node solves
+    # keep full images — trajectories must match the single-device loop.
+    problem = make_problem(P=8, N=12)
+    m2 = meshlib.make_mesh(2, pixel=4)
+    assert dict(m2.shape) == {"node": 2, "pixel": 4}
+    got = admm_sharded.run_admm_sharded(problem, mesh=m2)
+    ref = admm.run_admm(problem)
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x), rtol=3e-4, atol=3e-4
+    )
+    for key in ("primal", "dual", "obj_total", "eps_target"):
+        np.testing.assert_allclose(
+            np.asarray(got.history[key]), np.asarray(ref.history[key]),
+            rtol=2e-3, atol=1e-5, err_msg=key,
+        )
+    np.testing.assert_allclose(
+        np.asarray(got.history["pri_per_node"]),
+        np.asarray(ref.history["pri_per_node"]),
+        rtol=2e-3, atol=1e-5,
+    )
+
+
+def test_pixel_axis_parity_weighted_relaxed():
+    # Weighted fusion + over-relaxation exercise the W_own/W_all pixel
+    # slices and the Xh blend against pixel-local Z.
+    problem = make_problem(P=4, N=12)
+    cfg = dataclasses.replace(
+        problem.cfg.admm, z_fusion="weighted", relax_alpha=1.6
+    )
+    m2 = meshlib.make_mesh(4, pixel=2)
+    got = admm_sharded.run_admm_sharded(problem, cfg, mesh=m2)
+    ref = admm.run_admm(problem, cfg)
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x), rtol=3e-4, atol=3e-4
+    )
+
+
+def test_pixel_axis_resume_exact():
+    # The state/hist/until segmentation contract holds on the 2-D mesh.
+    problem = make_problem(P=4, N=12)
+    m2 = meshlib.make_mesh(4, pixel=2)
+    full = admm_sharded.run_admm_sharded(problem, mesh=m2)
+    part = admm_sharded.run_admm_sharded(problem, mesh=m2, until=3)
+    resumed = admm_sharded.run_admm_sharded(
+        problem, mesh=m2, state=part.state, hist=part.history
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed.x), np.asarray(full.x), rtol=1e-6, atol=1e-6
+    )
