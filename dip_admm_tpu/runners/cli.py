@@ -108,6 +108,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", default=None, metavar="CKPT",
                    help="resume from a checkpoint.npz written by "
                         "--checkpoint-every (exact continuation)")
+    p.add_argument("--save-problem", default=None, metavar="NPZ",
+                   help="persist the built problem (operators, data, graph, "
+                        "projector tables) to this .npz after building")
+    p.add_argument("--load-problem", default=None, metavar="NPZ",
+                   help="load a problem saved by --save-problem instead of "
+                        "building one (skips tables/colnorms/opnorms — IO "
+                        "only); solver flags still apply, and a different "
+                        "--strategy/--k rebuilds just the graph layer")
     p.add_argument("--per-node-phantoms", action="store_true",
                    help="each node measures its own randomized phantom "
                         "(build-mode loader parity, ref "
@@ -220,6 +228,21 @@ def main(argv=None) -> None:
 
     mode = mode_from_args(args)
 
+    problem = None
+    if getattr(args, "load_problem", None):
+        from dip_admm_tpu.data import serialization
+
+        problem = serialization.load_problem(args.load_problem)
+    if getattr(args, "save_problem", None):
+        from dip_admm_tpu.data import loader, serialization
+
+        if problem is None:
+            problem = loader.build_problem(
+                cfg, mode=mode,
+                per_node_phantoms=getattr(args, "per_node_phantoms", False),
+            )
+        serialization.save_problem(problem, args.save_problem)
+
     def go():
         pnp = getattr(args, "per_node_phantoms", False)
         snap = getattr(args, "snapshot_every", None)
@@ -251,10 +274,12 @@ def main(argv=None) -> None:
                     "--all-strategies; run strategies individually"
                 )
             return experiment.run_all_strategies(
-                cfg, out_root, mesh=mesh, mode=mode, per_node_phantoms=pnp
+                cfg, out_root, mesh=mesh, mode=mode, per_node_phantoms=pnp,
+                problem=problem,
             )
         _, _, summary = experiment.run_one_strategy(
             cfg, out_root, mesh=mesh, mode=mode, per_node_phantoms=pnp,
+            problem=problem,
             snapshot_every=snap,
             checkpoint_every=getattr(args, "checkpoint_every", None),
             resume=getattr(args, "resume", None),

@@ -167,15 +167,18 @@ def run_one_strategy(
 def run_all_strategies(
     cfg: ProblemConfig, out_root: Optional[str] = None, mesh=None,
     mode: Optional[str] = None, per_node_phantoms: bool = False,
+    problem: Optional[loader.Problem] = None,
 ):
     """mst, chain, knn back-to-back on the same data
     (ref ``block_7_main_ver0.py:192-204``); the problem operators/sinograms
-    are shared, only the graph layer is rebuilt per strategy."""
+    are shared (``problem`` may supply them pre-built/loaded), only the
+    graph layer is rebuilt per strategy."""
     if out_root is None:
         out_root = f"Recon_Out_ADMM_{datetime.now().strftime('%Y%m%d_%H%M%S')}"
-    problem = loader.build_problem(
-        cfg, mode=mode, per_node_phantoms=per_node_phantoms
-    )
+    if problem is None:
+        problem = loader.build_problem(
+            cfg, mode=mode, per_node_phantoms=per_node_phantoms
+        )
     results = {}
     for strategy in ("mst", "chain", "knn"):
         x, hist, summary = run_one_strategy(

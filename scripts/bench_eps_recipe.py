@@ -1,0 +1,86 @@
+"""eps_rel recipe study (VERDICT r2 #6): does the data-scale-relative
+acceptance trim inner iterations at unchanged reconstruction quality?
+
+For each problem size, runs the flagship solve at eps_rel in {0, 0.02,
+0.05, 0.1} (0 = reference-parity absolute-only schedule) with the standard
+200-inner budget, and reports wall time, mean inner iterations actually
+run, final PSNR, and PSNR per second. One build per size (shared problem).
+
+Usage: PYTHONPATH=. python scripts/bench_eps_recipe.py [N] [P] [OUTER]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dip_admm_tpu.config import (
+    AdmmConfig,
+    GeometryConfig,
+    GraphConfig,
+    NodeSolverConfig,
+    ProblemConfig,
+)
+from dip_admm_tpu.core import admm
+from dip_admm_tpu.data import loader
+from dip_admm_tpu.utils.imaging import psnr
+
+
+def run_size(N, P, outer, eps_rels=(0.0, 0.02, 0.05, 0.1), reps=3):
+    cfg = ProblemConfig(
+        geometry=GeometryConfig(N=N, num_nodes=P),
+        graph=GraphConfig(strategy="knn", k=2, seed=123),
+        admm=AdmmConfig(
+            lam_tv=0.02, rho=2.0, max_iters=outer, eps_pri=0.0, eps_dual=0.0,
+            node=NodeSolverConfig(max_inner=200, check_every=25),
+        ),
+        noise_level=0.005, phantom="shepp",
+        fft_table_dtype="bfloat16",
+    )
+    problem = loader.build_problem(cfg)
+    x_true = np.asarray(problem.x_true)
+    dr = float(x_true.max())
+    print(f"\n== {N}x{N}, {P} nodes, {outer} outer, 200-inner budget ==",
+          flush=True)
+    print(f"{'eps_rel':>8} {'wall_s':>8} {'it/s':>6} {'mean_inner':>10} "
+          f"{'PSNR':>7} {'PSNR/s':>8}")
+    for er in eps_rels:
+        acfg = dataclasses.replace(
+            cfg.admm, node=dataclasses.replace(cfg.admm.node, eps_rel=er)
+        )
+        admm.run_admm(problem, dataclasses.replace(acfg, max_iters=2))
+        best = float("inf")
+        res = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            res = admm.run_admm(problem, acfg)
+            float(res.history["primal"][outer - 1])
+            best = min(best, time.perf_counter() - t0)
+        x = np.asarray(res.x)
+        mean_psnr = float(np.mean([
+            psnr(xi, x_true, data_range=dr) for xi in x
+        ]))
+        inner = float(np.nanmean(np.asarray(res.history["inner_iters"])))
+        print(f"{er:8.3f} {best:8.2f} {outer / best:6.2f} {inner:10.1f} "
+              f"{mean_psnr:7.2f} {mean_psnr / best:8.2f}", flush=True)
+
+
+def main():
+    if len(sys.argv) > 1:
+        N = int(sys.argv[1])
+        P = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+        outer = int(sys.argv[3]) if len(sys.argv) > 3 else 30
+        run_size(N, P, outer)
+        return
+    jnp.ones(2).block_until_ready()  # absorb the first-dispatch relay stall
+    run_size(64, 5, 60)
+    run_size(256, 8, 30)
+
+
+if __name__ == "__main__":
+    main()

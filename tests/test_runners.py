@@ -204,3 +204,26 @@ def test_cli_per_node_phantoms(tmp_path, capsys):
     ])
     out = json.loads(capsys.readouterr().out)
     assert out["knn"]["n_iters"] == 2
+
+
+def test_cli_save_and_load_problem(tmp_path, capsys):
+    import json
+
+    pb = str(tmp_path / "prob.npz")
+    cli.main([
+        "--N", "16", "--nodes", "3", "--angles", "12", "--max-iters", "2",
+        "--max-inner", "10", "--save-problem", pb,
+        "--out", str(tmp_path / "a"),
+    ])
+    out_a = json.loads(capsys.readouterr().out)
+    assert (tmp_path / "prob.npz").exists()
+    # Reload: identical data -> identical trajectory; solver flags still
+    # come from the CLI (different max-iters applies).
+    cli.main([
+        "--N", "16", "--nodes", "3", "--angles", "12", "--max-iters", "2",
+        "--max-inner", "10", "--load-problem", pb,
+        "--out", str(tmp_path / "b"),
+    ])
+    out_b = json.loads(capsys.readouterr().out)
+    assert out_b["knn"]["final_primal"] == out_a["knn"]["final_primal"]
+    assert out_b["knn"]["mean_psnr"] == out_a["knn"]["mean_psnr"]

@@ -278,3 +278,27 @@ def test_pixel_axis_resume_exact():
     np.testing.assert_allclose(
         np.asarray(resumed.x), np.asarray(full.x), rtol=1e-6, atol=1e-6
     )
+
+
+def test_pixel_axis_fan_grouped():
+    # 2-D mesh with the production fan projector: node-shared table subtree
+    # replicates while the edge state shards along pixels.
+    cfg = ProblemConfig(
+        geometry=GeometryConfig(
+            N=16, num_nodes=4, angles_total=32, fan_beam=True,
+            det_width_factor=2.0, src_radius=4.0, det_radius=4.0,
+        ),
+        graph=GraphConfig(strategy="knn", k=1, seed=123),
+        admm=AdmmConfig(
+            lam_tv=0.02, rho=2.0, max_iters=3, eps_pri=1e-9, eps_dual=1e-9,
+            node=NodeSolverConfig(max_inner=20, check_every=10),
+        ),
+        phantom="const",
+    )
+    problem = loader.build_problem(cfg, mode="fft_grouped")
+    m2 = meshlib.make_mesh(4, pixel=2)
+    got = admm_sharded.run_admm_sharded(problem, mesh=m2)
+    ref = admm.run_admm(problem)
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x), rtol=3e-4, atol=3e-4
+    )
