@@ -73,10 +73,10 @@ def measure_tpu_throughput(N=256, P=8, timed_iters=20, dtype="float32",
 
     build_start = time.perf_counter()
     # mode=None -> the loader's auto choice (dense at N<=128; above that
-    # fft_shear for parallel beam) — keeping the headline on the same path
-    # every default-mode user gets. fft_shear measured 2.36 outer it/s
-    # end-to-end at 256^2/8 vs 2.12 (fft_grouped) / 1.68 (fft_pallas)
-    # in the round-2 A/B (RESULTS.md).
+    # fft_skew for parallel beam) — keeping the headline on the same path
+    # every default-mode user gets. fft_skew measured 4.55 outer it/s
+    # end-to-end at 256^2/8 vs 4.00 (fft_shear) / ~2.1 (fft_grouped)
+    # in the round-3 A/B (RESULTS.md).
     problem = loader.build_problem(cfg)
     jax.block_until_ready(problem.b)
     build_s = time.perf_counter() - build_start

@@ -162,6 +162,19 @@ def make_node_ops(
         adj = lambda r: proj_mod.backproject_nodes_shear(
             geo, r.reshape(r.shape[0], -1, D), tables
         ).reshape(r.shape[0], -1)
+    elif mode == "fft_skew":
+        from dip_admm_tpu.ops import radon_fft as proj_mod
+
+        if geo.fan_beam:
+            raise NotImplementedError("fft_skew supports parallel beam only")
+        if tables is None:
+            tables = proj_mod.precompute_shear(geo, angles, valid)
+        fwd = lambda x: proj_mod.project_nodes_skew(
+            geo, x.reshape(-1, N, N), tables
+        ).reshape(x.shape[0], -1)
+        adj = lambda r: proj_mod.backproject_nodes_skew(
+            geo, r.reshape(r.shape[0], -1, D), tables
+        ).reshape(r.shape[0], -1)
     elif mode == "fft_grouped":
         if geo.fan_beam:
             from dip_admm_tpu.ops import radon_fan as proj_mod
@@ -311,7 +324,7 @@ def build_fft_tables(cfg: ProblemConfig, angles, valid, mode: str = "fft"):
         from dip_admm_tpu.ops import radon_fft
 
         return radon_fft.precompute_grouped(geo, angles, valid, tdt)
-    elif mode == "fft_shear":
+    elif mode in ("fft_shear", "fft_skew"):
         from dip_admm_tpu.ops import radon_fft
 
         return radon_fft.precompute_shear(geo, angles, valid, tdt)
@@ -361,12 +374,13 @@ def build_problem(
         elif N <= 128:
             mode = "dense"
         else:
-            # Measured fastest large-N projector (RESULTS.md round-2 A/B):
-            # the MXU-cast factored shear kernel, 2.36 outer it/s end-to-end
-            # at 256^2/8 vs 2.12 (fft_grouped) / 1.68 (fft_pallas) / ~0.73
-            # (plain fft) — and its tables build in seconds (no H tensor).
-            # Fan beam runs through the grouped rebinned-parallel tables.
-            mode = "fft_grouped" if geo.fan_beam else "fft_shear"
+            # Measured fastest large-N projector (RESULTS.md round-3 A/B):
+            # the spatial-skew factored shear kernel, 4.55 outer it/s
+            # end-to-end at 256^2/8 vs 4.00 (fft_shear) / ~2.1 (fft_grouped)
+            # / ~1.7 (fft_pallas); 6.57 vs 7.81 ms/inner at 512^2/8 — and
+            # its tables build in seconds (no H tensor). Fan beam runs
+            # through the grouped rebinned-parallel tables.
+            mode = "fft_grouped" if geo.fan_beam else "fft_skew"
     dtype = jnp.dtype(cfg.dtype)
 
     angles_np, valid_np, _ = radon.node_angles(geo)

@@ -702,3 +702,256 @@ def _shear_sum_planes_t_vmap(axis_size, in_batched, gre_b, gim_b, *tabs):
     gre_f, gim_f = _fold_batch([gre_b, gim_b], axis_size)
     out = _t_pallas_planes(gre_f, gim_f, *tabs, interpret=_interp())
     return _unfold_batch(out, axis_size), (True, True)
+
+
+# ---------------------------------------------------------------------------
+# Spatial skew row stage (mode "fft_skew"): the same factored tap tables
+# applied to RAW zero-padded image rows instead of row spectra. Per
+# (angle-block, row-block)
+#
+#     MXU : sigma[t, d, u] = sum_n Wt[t, d, n] x[n, u]        (REAL, u < N)
+#     VPU : z[t, v]        = sum_d sigma[t, d, v - (D2-1) + d]  (skew sum)
+#     MXU : g[t, f]        = E[t, f] * sum_v z[t, v] D[v, f]   (DFT-back)
+#
+# with D[v, f] = W^{-f (v - (D2-1))} a small SHARED matrix (the (D2-1)
+# offset keeps skew indices nonnegative and folds into D). Equivalent to
+# the spectra formulation by substituting v = u - d + (D2-1) into
+# g = E sum_{d,n,u} Phi_d Wt x W^{-fu} — exact, not an approximation. The
+# win: the spatial matmul contracts N real columns instead of 2F complex
+# ones (~3.2x fewer MACs at 512^2), the VPU phase combine (the measured
+# ~1.9 TFLOP/s wall, NEXT.md #1) becomes pure shifted adds, and the row
+# rfft/irfft stages disappear from the pipeline entirely (the kernel eats
+# raw image rows and the transpose emits raw row cotangents). Measured
+# A/B at the production 512^2/8 block shapes: 4.30 ms (phase combine)
+# vs 3.39 ms (skew) per 192-block sweep; the stride-trick reshape variant
+# does not lower (Mosaic "unsupported shape cast" — scripts/
+# bench_skew_combine.py).
+# ---------------------------------------------------------------------------
+
+
+def _skew_dc(D2: int) -> int:
+    """d-chunk bounding the [tt*DC, WS] sigma temp in VMEM (D2 is always a
+    multiple of 16 by construction)."""
+    return 16 if D2 % 16 == 0 else D2
+
+
+def _skew_fwd_body(x_ref, wt_ref, sere_ref, seim_ref, dre_ref, dim_ref,
+                   gre_ref, gim_ref, z_acc, *, accum_first):
+    W = wt_ref[0, 0]  # [tt, D2, nb]
+    tt, D2, nb = W.shape
+    WS = x_ref.shape[-1]
+    lowp = W.dtype == jnp.bfloat16
+    x = x_ref[0, 0]  # [nb, WS]
+    if lowp:
+        x = x.astype(jnp.bfloat16)
+    else:
+        W = W.astype(jnp.float32)
+        x = x.astype(jnp.float32)
+    z_acc[...] = jnp.zeros_like(z_acc)
+    DC = _skew_dc(D2)
+    for d0 in range(0, D2, DC):
+        Wc = W[:, d0:d0 + DC, :].reshape(tt * DC, nb)
+        sig = jnp.dot(Wc, x, preferred_element_type=jnp.float32)
+        sig = sig.reshape(tt, DC, WS)
+        for j in range(DC):
+            off = (D2 - 1) - (d0 + j)
+            z_acc[:, off:off + WS] += sig[:, j, :]
+    z = z_acc[...]
+    if dre_ref.dtype == jnp.bfloat16:
+        z = z.astype(jnp.bfloat16)
+    Zr = jnp.dot(z, dre_ref[...], preferred_element_type=jnp.float32)
+    Zi = jnp.dot(z, dim_ref[...], preferred_element_type=jnp.float32)
+    ere = sere_ref[0, 0]  # [tt, F]
+    eim = seim_ref[0, 0]
+
+    @pl.when(accum_first)
+    def _():
+        gre_ref[0] = jnp.zeros_like(gre_ref[0])
+        gim_ref[0] = jnp.zeros_like(gim_ref[0])
+
+    gre_ref[0] += Zr * ere - Zi * eim
+    gim_ref[0] += Zr * eim + Zi * ere
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _skew_fwd_pallas_planes(rows2, Wt, SEre, SEim, Dre, Dim, plane,
+                            interpret=False):
+    P, NB, Tp, D2, nb = Wt.shape
+    PB = rows2.shape[0]
+    WS = rows2.shape[-1]
+    WZ, F = Dre.shape
+    TB = plane.shape[1]
+    tt = Tp // TB
+    grid = (PB * TB, NB)  # row blocks innermost: accumulation axis
+    x_spec = pl.BlockSpec(
+        (1, 1, nb, WS),
+        lambda q, b, pr: (q // TB, pr[(q // TB) % P, q % TB], b, 0),
+        memory_space=pltpu.VMEM,
+    )
+    wt_spec = pl.BlockSpec(
+        (1, 1, tt, D2, nb),
+        lambda q, b, pr: ((q // TB) % P, b, q % TB, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    se_spec = pl.BlockSpec(
+        (1, 1, tt, F), lambda q, b, pr: ((q // TB) % P, b, q % TB, 0),
+        memory_space=pltpu.VMEM,
+    )
+    d_spec = pl.BlockSpec(
+        (WZ, F), lambda q, b, pr: (0, 0), memory_space=pltpu.VMEM
+    )
+    g_spec = pl.BlockSpec(
+        (1, tt, F), lambda q, b, pr: (q // TB, q % TB, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    def kern(plane_ref, x_ref, wt_ref, sere_ref, seim_ref, dre_ref, dim_ref,
+             gre_ref, gim_ref, z_acc):
+        _skew_fwd_body(x_ref, wt_ref, sere_ref, seim_ref, dre_ref, dim_ref,
+                       gre_ref, gim_ref, z_acc,
+                       accum_first=pl.program_id(1) == 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[x_spec, wt_spec, se_spec, se_spec, d_spec, d_spec],
+        out_specs=(g_spec, g_spec),
+        scratch_shapes=[pltpu.VMEM((tt, WZ), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((PB, Tp, F), jnp.float32),
+            jax.ShapeDtypeStruct((PB, Tp, F), jnp.float32),
+        ),
+        interpret=interpret,
+    )(plane, rows2, Wt, SEre, SEim, Dre, Dim)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _skew_t_pallas_planes(gre_b, gim_b, Wt, SEre, SEim, DreT, DimT, plane,
+                          pfirst, interpret=False):
+    P, NB, Tp, D2, nb = Wt.shape
+    PB = gre_b.shape[0]
+    F, WZ = DreT.shape
+    TB = plane.shape[1]
+    tt = Tp // TB
+    N = NB * nb
+    WS = N  # raw row width (x is zero outside [0, N))
+    grid = (PB * NB, TB)  # tb innermost: consecutive same-plane revisits
+    g_spec = pl.BlockSpec(
+        (1, tt, F), lambda q, tb, pr, fr: (q // NB, tb, 0),
+        memory_space=pltpu.VMEM,
+    )
+    wt_spec = pl.BlockSpec(
+        (1, 1, tt, D2, nb),
+        lambda q, tb, pr, fr: ((q // NB) % P, q % NB, tb, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    se_spec = pl.BlockSpec(
+        (1, 1, tt, F), lambda q, tb, pr, fr: ((q // NB) % P, q % NB, tb, 0),
+        memory_space=pltpu.VMEM,
+    )
+    d_spec = pl.BlockSpec(
+        (F, WZ), lambda q, tb, pr, fr: (0, 0), memory_space=pltpu.VMEM
+    )
+    x2_spec = pl.BlockSpec(
+        (1, 1, nb, WS),
+        lambda q, tb, pr, fr: (q // NB, pr[(q // NB) % P, tb], q % NB, 0),
+        memory_space=pltpu.VMEM,
+    )
+    DC = _skew_dc(D2)
+    sig_dtype = Wt.dtype if Wt.dtype == jnp.bfloat16 else jnp.float32
+
+    def kern(plane_ref, first_ref, gre_ref, gim_ref, wt_ref, sere_ref,
+             seim_ref, dreT_ref, dimT_ref, x2_ref, sig_acc):
+        q = pl.program_id(0)
+        tb = pl.program_id(1)
+        p = (q // NB) % P
+        W = wt_ref[0, 0]  # [tt, D2, nb]
+        lowp = W.dtype == jnp.bfloat16
+        if not lowp:
+            W = W.astype(jnp.float32)
+        gre = gre_ref[0]  # [tt, F]
+        gim = gim_ref[0]
+        ere = sere_ref[0, 0]
+        eim = seim_ref[0, 0]
+        Zr = gre * ere + gim * eim  # conj(E) * g_bar
+        Zi = gim * ere - gre * eim
+        if dreT_ref.dtype == jnp.bfloat16:
+            Zr = Zr.astype(jnp.bfloat16)
+            Zi = Zi.astype(jnp.bfloat16)
+        zbar = jnp.dot(
+            Zr, dreT_ref[...], preferred_element_type=jnp.float32
+        ) + jnp.dot(
+            Zi, dimT_ref[...], preferred_element_type=jnp.float32
+        )  # [tt, WZ]
+
+        @pl.when(first_ref[p, tb] == 1)
+        def _():
+            x2_ref[0, 0] = jnp.zeros_like(x2_ref[0, 0])
+
+        for d0 in range(0, D2, DC):
+            for j in range(DC):
+                off = (D2 - 1) - (d0 + j)
+                sig_acc[:, j, :] = zbar[:, off:off + WS].astype(sig_dtype)
+            Wc = W[:, d0:d0 + DC, :].reshape(tt * DC, nb)
+            sig = sig_acc[...].reshape(tt * DC, WS)
+            x2_ref[0, 0] += jax.lax.dot_general(
+                Wc, sig, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [nb, WS]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[g_spec, g_spec, wt_spec, se_spec, se_spec, d_spec, d_spec],
+        out_specs=(x2_spec,),
+        scratch_shapes=[pltpu.VMEM((tt, DC, WS), sig_dtype)],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((PB, 2, N, WS), jnp.float32),),
+        interpret=interpret,
+    )(plane, pfirst, gre_b, gim_b, Wt, SEre, SEim, DreT, DimT)[0]
+
+
+@custom_batching.custom_vmap
+def skew_sum_planes(rows2, Wt, SEre, SEim, Dre, Dim, plane):
+    """Spatial skew row stage forward: raw two-plane image rows
+    [P, 2, N, N] -> slot-order spectrum pair [P, Tp, F] (no row rfft)."""
+    return _skew_fwd_pallas_planes(
+        rows2, Wt, SEre, SEim, Dre, Dim, plane, interpret=_interp()
+    )
+
+
+@skew_sum_planes.def_vmap
+def _skew_sum_planes_vmap(axis_size, in_batched, rows2, *tabs):
+    _check_unbatched(in_batched, 1, "skew_sum_planes")
+    rows_f = rows2.reshape((axis_size * rows2.shape[1],) + rows2.shape[2:])
+    out = _skew_fwd_pallas_planes(rows_f, *tabs, interpret=_interp())
+    return _unfold_batch(out, axis_size), (True, True)
+
+
+@custom_batching.custom_vmap
+def skew_sum_planes_t(gre_b, gim_b, Wt, SEre, SEim, DreT, DimT, plane,
+                      pfirst):
+    """Exact transpose of :func:`skew_sum_planes`: accumulates raw row
+    cotangents straight into the two planes [P, 2, N, N] (apply the
+    per-plane ``pvisited`` mask afterwards)."""
+    return _skew_t_pallas_planes(
+        gre_b, gim_b, Wt, SEre, SEim, DreT, DimT, plane, pfirst,
+        interpret=_interp(),
+    )
+
+
+@skew_sum_planes_t.def_vmap
+def _skew_sum_planes_t_vmap(axis_size, in_batched, gre_b, gim_b, *tabs):
+    _check_unbatched(in_batched, 2, "skew_sum_planes_t")
+    gre_f, gim_f = _fold_batch([gre_b, gim_b], axis_size)
+    out = _skew_t_pallas_planes(gre_f, gim_f, *tabs, interpret=_interp())
+    return out.reshape(
+        (axis_size, out.shape[0] // axis_size) + out.shape[1:]
+    ), True

@@ -705,6 +705,25 @@ def precompute_shear(
     src = jnp.asarray(plan["src_slot"])
     Wt, SEre, SEim, Phire, Phiim = build_tables(sigma, src)
 
+    # Skew-mode DFT-back matrices (mode "fft_skew", the spatial row stage):
+    # g[t, f] = E * sum_v z[t, v] W^{-f (v - (D2-1))} where z is the
+    # anti-diagonal skew sum of the spatial tap matmul sigma[t, d, u] at
+    # v = u + (D2-1) - d (the (D2-1) offset keeps indices nonnegative and is
+    # folded into the matrix). Stored in the table dtype — the matmul
+    # replaces the row rfft, so bf16 here mirrors the bf16 tap dots.
+    WZ = -(-(N + D2 - 1) // 128) * 128
+
+    @jax.jit
+    def skew_mats():
+        f_idx = jnp.arange(F, dtype=jnp.float32)
+        v = jnp.arange(WZ, dtype=jnp.float32) - jnp.float32(D2 - 1)
+        ang3 = (2.0 * jnp.pi / Np) * v[:, None] * f_idx[None, :]
+        Dre = jnp.cos(ang3).astype(table_dtype)  # [WZ, F]
+        Dim = (-jnp.sin(ang3)).astype(table_dtype)
+        return Dre, Dim, Dre.T.copy(), Dim.T.copy()
+
+    Dre, Dim, DreT, DimT = skew_mats()
+
     # Per-block spectrum-plane index for the scalar-prefetch kernels.
     # Pure-slack blocks (zero tap rows) inherit the previous block's plane
     # so the sequence is MONOTONE per node — the transpose kernel
@@ -793,6 +812,7 @@ def precompute_shear(
         "shared": {
             "Phire": Phire, "Phiim": Phiim,
             "PhiDre": PhiDre, "PhiDim": PhiDim,
+            "Dre": Dre, "Dim": Dim, "DreT": DreT, "DimT": DimT,
         },
         "onehot": jnp.asarray(plan["onehot"]),
         "posfull": jnp.asarray(plan["posfull"]),
@@ -851,6 +871,59 @@ def backproject_nodes_shear(cfg: GeometryConfig, sinos, tables):
     rre2_bar = jnp.where(vis > 0, rre2_bar, 0.0)
     rim2_bar = jnp.where(vis > 0, rim2_bar, 0.0)
     return _plane_spectra_t(rre2_bar, rim2_bar, t, sinos.dtype)
+
+
+def project_nodes_skew(cfg: GeometryConfig, imgs, tables):
+    """Batched forward projection [P, N, N] -> [P, T, D] via the SPATIAL
+    skew row stage (mode "fft_skew", ``ops.pallas.shear_sum`` skew
+    section): same factored shear tables as :func:`project_nodes_shear`,
+    but the kernel eats raw image rows — the tap matmul runs in the
+    spatial domain, the phase combine becomes shifted adds, and the
+    DFT-back happens in-kernel, so the row rfft stage disappears. Exact
+    same operator (equivalence tested). Parallel beam only."""
+    if cfg.fan_beam:
+        raise NotImplementedError("fft_skew supports parallel beam only")
+    from dip_admm_tpu.ops.pallas.filter_mxu import permute_rows
+    from dip_admm_tpu.ops.pallas.shear_sum import eval_shear, skew_sum_planes
+
+    t = tables
+    sh = t["shared"]
+    T = max(cfg.angles_per_node())
+    dtype = imgs.dtype
+    imgs = imgs.astype(jnp.float32)
+    rows2 = jnp.stack([imgs, imgs.transpose(0, 2, 1)], axis=1)  # [P,2,N,N]
+    g_re, g_im = skew_sum_planes(
+        rows2, t["Wt"], t["SEre"], t["SEim"], sh["Dre"], sh["Dim"],
+        t["plane"],
+    )
+    out_slot = eval_shear(
+        g_re, g_im, t["Wd"], t["TEre"], t["TEim"], sh["PhiDre"], sh["PhiDim"]
+    )  # [P, Tp, D] in slot order (scale + masks folded into Wd)
+    return permute_rows(out_slot, t["posfull"])[:, :T].astype(dtype)
+
+
+def backproject_nodes_skew(cfg: GeometryConfig, sinos, tables):
+    """Exact adjoint of :func:`project_nodes_skew`, composed by hand."""
+    from dip_admm_tpu.ops.pallas.shear_sum import (
+        eval_shear_t, skew_sum_planes_t,
+    )
+
+    t = tables
+    sh = t["shared"]
+    ob = _pad_unpermute(sinos.astype(jnp.float32), t)  # [P, Tp, D] slots
+    g_re_bar, g_im_bar = eval_shear_t(
+        ob, t["Wd"], t["TEre"], t["TEim"], sh["PhiDre"], sh["PhiDim"]
+    )
+    rows2_bar = skew_sum_planes_t(
+        g_re_bar, g_im_bar, t["Wt"], t["SEre"], t["SEim"],
+        sh["DreT"], sh["DimT"], t["plane"], t["pfirst"],
+    )
+    # Planes no angle block wrote are uninitialized kernel outputs.
+    vis = t["pvisited"][:, :, None, None]
+    rows2_bar = jnp.where(vis > 0, rows2_bar, 0.0)
+    return (
+        rows2_bar[:, 0] + rows2_bar[:, 1].transpose(0, 2, 1)
+    ).astype(sinos.dtype)
 
 
 def project_nodes_mxu(cfg: GeometryConfig, imgs, tables):

@@ -84,11 +84,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force the matrix-free projector (mode=fft)")
     p.add_argument("--mode",
                    choices=["auto", "dense", "joseph", "fft", "fft_pallas",
-                            "fft_mxu", "fft_grouped", "fft_shear"],
+                            "fft_mxu", "fft_grouped", "fft_shear",
+                            "fft_skew"],
                    default="auto",
                    help="measurement-operator implementation (auto: dense "
-                        "for N<=128; above that fft_shear for parallel beam, "
-                        "fft_grouped for fan beam — the round-2 measured "
+                        "for N<=128; above that fft_skew for parallel beam, "
+                        "fft_grouped for fan beam — the round-3 measured "
                         "fastest, RESULTS.md A/B)")
     p.add_argument("--use-pallas", action=argparse.BooleanOptionalAction,
                    default=None,

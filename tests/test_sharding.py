@@ -203,6 +203,21 @@ def test_sharded_fft_shear_parity():
     )
 
 
+def test_sharded_fft_skew_parity():
+    """fft_skew (the promoted auto default) shares fft_shear's tables —
+    including the node-shared skew DFT-back matrices, which must replicate
+    while Wt/SE/plan shard by node."""
+    problem = make_problem(P=4)
+    sk = loader.build_problem(problem.cfg, mode="fft_skew")
+    m = meshlib.make_mesh(4)
+    got = admm_sharded.run_admm_sharded(sk, mesh=m)
+    ref = admm.run_admm(sk)
+    assert int(got.n_iters) == int(ref.n_iters)
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x), rtol=2e-4, atol=2e-4
+    )
+
+
 def test_sharded_fan_grouped_parity():
     """Fan-beam fft_grouped on the mesh: the shared single-set parallel
     tables replicate, per-node row masks shard."""
