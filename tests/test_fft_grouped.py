@@ -157,8 +157,8 @@ def test_scenario_batching_matches_per_run():
 def test_auto_mode_defaults_to_fastest_above_128():
     """The loader's auto choice must put default-mode users on the measured
     fastest projector above the dense-mode size cutoff (VERDICT r1: the old
-    auto rule left default users on the slowest fft path). Round-2 A/B
-    winners: fft_shear (parallel), fft_grouped (fan)."""
+    auto rule left default users on the slowest fft path). Round-3 A/B
+    winners: fft_skew (parallel), fft_grouped (fan)."""
     import dataclasses
 
     assert loader.build_problem(_cfg()).mode == "dense"
@@ -166,7 +166,7 @@ def test_auto_mode_defaults_to_fastest_above_128():
     big = dataclasses.replace(
         big, geometry=dataclasses.replace(big.geometry, angles_total=8)
     )
-    assert loader.build_problem(big).mode == "fft_shear"
+    assert loader.build_problem(big).mode == "fft_skew"
     fan = dataclasses.replace(
         big, geometry=dataclasses.replace(big.geometry, fan_beam=True)
     )
