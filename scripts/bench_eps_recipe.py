@@ -70,10 +70,17 @@ def run_size(N, P, outer, eps_rels=(0.0, 0.02, 0.05, 0.1), reps=3):
               f"{mean_psnr:7.2f} {mean_psnr / best:8.2f}", flush=True)
 
 
-def run_equal_wall(N, P, pairs, reps=2):
+def run_equal_wall(N, P, pairs, reps=2, seg=20):
     """Equal-wall-clock frontier: each (eps_rel, outer) pair spends roughly
     the same wall time (outer counts chosen from a measured it/s
-    calibration); the winner is whoever reaches the best PSNR in it."""
+    calibration); the winner is whoever reaches the best PSNR in it.
+
+    Runs in ``seg``-outer SEGMENTS through the resume contract (one
+    compilation, multiple dispatches): the axon relay reproducibly kills
+    single device programs past ~30-40 s wall (measured: a 26 s
+    while_loop dispatch survives, a ~44 s one dies with "TPU worker
+    process crashed", twice), so long solves must be segmented — exactly
+    what the CLI's --checkpoint-every path does."""
     max_outer = max(o for _, o in pairs)
     cfg = ProblemConfig(
         geometry=GeometryConfig(N=N, num_nodes=P),
@@ -103,7 +110,12 @@ def run_equal_wall(N, P, pairs, reps=2):
         res = None
         for _ in range(reps):
             t0 = time.perf_counter()
-            res = admm.run_admm(problem, acfg)
+            res = admm.run_admm(problem, acfg, until=min(seg, outer))
+            for k0 in range(seg, outer, seg):
+                res = admm.run_admm(
+                    problem, acfg, state=res.state, hist=res.history,
+                    until=min(k0 + seg, outer),
+                )
             float(res.history["primal"][outer - 1])
             best = min(best, time.perf_counter() - t0)
         x = np.asarray(res.x)

@@ -23,6 +23,7 @@ from dip_admm_tpu.ops import radon, radon_fft
 from dip_admm_tpu.ops.pallas.filter_mxu import permute_rows
 from dip_admm_tpu.ops.pallas.shear_sum import (
     eval_shear, eval_shear_t, shear_sum, shear_sum_t,
+    skew_sum_planes, skew_sum_planes_t,
 )
 
 
@@ -93,10 +94,36 @@ def main():
     def full_adj(s, t):
         return (radon_fft.backproject_nodes_shear(geo, s, t),)
 
+    # Skew-path stages (mode "fft_skew", the production parallel-beam
+    # default since round 3): the row kernel eats raw spatial rows.
+    def skew_rows(im, t):
+        im = im.astype(jnp.float32)
+        return (jnp.stack([im, im.transpose(0, 2, 1)], axis=1),)
+
+    def skew_row_stage(rows2, t):
+        return skew_sum_planes(
+            rows2, t["Wt"], t["SEre"], t["SEim"],
+            t["shared"]["Dre"], t["shared"]["Dim"], t["plane"],
+        )
+
+    def skew_row_stage_t(a, b, t):
+        return (skew_sum_planes_t(
+            a, b, t["Wt"], t["SEre"], t["SEim"],
+            t["shared"]["DreT"], t["shared"]["DimT"],
+            t["plane"], t["pfirst"],
+        ),)
+
+    def full_fwd_skew(im, t):
+        return (radon_fft.project_nodes_skew(geo, im, t),)
+
+    def full_adj_skew(s, t):
+        return (radon_fft.backproject_nodes_skew(geo, s, t),)
+
     rre2, rim2 = spectra(imgs, t)
     rre_s, rim_s = select(rre2, rim2, t)
     g_re, g_im = kernel(rre_s, rim_s, t)
     sino = full_fwd(imgs, t)[0]
+    rows2 = skew_rows(imgs, t)[0]
 
     for name, fn, args in [
         ("plane_spectra", spectra, (imgs,)),
@@ -107,6 +134,10 @@ def main():
         ("eval_tail_t", tail_t, (sino,)),
         ("shear_sum_t", kernel_t, (g_re, g_im)),
         ("FULL adjoint", full_adj, (sino,)),
+        ("skew row stage", skew_row_stage, (rows2,)),
+        ("skew row stage T", skew_row_stage_t, (g_re, g_im)),
+        ("FULL fwd (skew)", full_fwd_skew, (imgs,)),
+        ("FULL adj (skew)", full_adj_skew, (sino,)),
     ]:
         ms = time_chain(fn, args, t, chain=chain) * 1e3
         print(f"{name:22s}: {ms:8.3f} ms", flush=True)
