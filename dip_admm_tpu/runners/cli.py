@@ -66,7 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="recommended operating point: preconditioned inner "
                         "solver (pcv) + over-relaxation 1.8 + 50-iteration "
                         "inner budget (measured +2.3 dB over reference "
-                        "defaults at equal wall clock, 256^2/8; RESULTS.md)")
+                        "defaults at equal wall clock, 256^2/8), plus "
+                        "eps_rel=0.005 at N>=512 (+0.9 dB at equal wall, "
+                        "512^2/8; RESULTS.md)")
     p.add_argument("--noise", type=float, default=0.005)
     p.add_argument("--phantom", choices=["const", "rand", "shepp"],
                    default="const")
@@ -161,9 +163,12 @@ def config_from_args(args) -> "ProblemConfig":
     relax_alpha = getattr(args, "relax_alpha", 1.0)
     algorithm = getattr(args, "algorithm", "cv")
     max_inner = getattr(args, "max_inner", None)
+    eps_rel = getattr(args, "eps_rel", 0.0)
     if getattr(args, "recommended", False):
         # Measured best operating point (RESULTS.md round-2 equal-wall-clock
         # study): preconditioned CV + over-relaxation 1.8 + 50-inner budget.
+        # At 512^2+ the data-scale adaptive acceptance additionally wins
+        # (+0.9 dB at equal wall, round-3 recipe) — eps_rel 0.005 there.
         # Explicit flags win over the preset.
         if relax_alpha == 1.0:
             relax_alpha = 1.8
@@ -171,6 +176,8 @@ def config_from_args(args) -> "ProblemConfig":
             algorithm = "pcv"
         if max_inner is None:
             max_inner = 50
+        if eps_rel == 0.0 and args.N >= 512:
+            eps_rel = 0.005
     if max_inner is None:
         max_inner = 200  # the reference's SCS per-solve cap
     return ProblemConfig(
@@ -193,7 +200,7 @@ def config_from_args(args) -> "ProblemConfig":
                 eps0=getattr(args, "eps0", 2.0),
                 check_every=getattr(args, "check_every", 10),
                 plateau_tol=getattr(args, "plateau_tol", 0.01),
-                eps_rel=getattr(args, "eps_rel", 0.0),
+                eps_rel=eps_rel,
             ),
         ),
         noise_level=args.noise,

@@ -192,6 +192,20 @@ def test_recommended_preset_sets_operating_point():
     assert cfg.admm.node.algorithm == "ppdhg"
     assert cfg.admm.relax_alpha == 1.5
 
+    # At 512^2+ the preset also turns on the data-scale adaptive
+    # acceptance (RESULTS.md round-3 equal-wall recipe); below it stays
+    # off, and an explicit --eps-rel always wins.
+    cfg = cli.config_from_args(cli.build_parser().parse_args(
+        ["--N", "512", "--nodes", "2", "--recommended"]))
+    assert cfg.admm.node.eps_rel == 0.005
+    cfg = cli.config_from_args(cli.build_parser().parse_args(
+        ["--N", "16", "--nodes", "2", "--recommended"]))
+    assert cfg.admm.node.eps_rel == 0.0
+    cfg = cli.config_from_args(cli.build_parser().parse_args(
+        ["--N", "512", "--nodes", "2", "--recommended",
+         "--eps-rel", "0.02"]))
+    assert cfg.admm.node.eps_rel == 0.02
+
 
 def test_cli_per_node_phantoms(tmp_path, capsys):
     """Build-mode parity through the runner (ref block_2_load_odl_data.py:
