@@ -62,6 +62,10 @@ class CommOps(NamedTuple):
     - ``any_reduce``: cross-shard boolean OR (inner-solve trip lockstep).
     - ``psum_repl``: node-axis reduction of pixel-REPLICATED quantities
       (node-solve outputs: objectives, measurement/image MSE).
+    - ``pmax_repl``: node-axis max of pixel-replicated quantities (the
+      scalar ``eps_target`` history slot is the max over ALL nodes' targets
+      — under eps_rel the targets are per node, and a shard-local max fed
+      to a replicated out-spec would leave shards disagreeing).
     - ``psum_pixel``: pixel-axis completion of per-node partial sums.
     - ``gather_pixels``: [..., n_loc] -> [..., n] (all_gather, pixel axis).
     - ``my_pixels``: [..., n] -> [..., n_loc] (this shard's pixel block).
@@ -71,6 +75,7 @@ class CommOps(NamedTuple):
     psum: Callable[[jnp.ndarray], jnp.ndarray]
     any_reduce: Callable[[jnp.ndarray], jnp.ndarray]
     psum_repl: Callable[[jnp.ndarray], jnp.ndarray] = _identity
+    pmax_repl: Callable[[jnp.ndarray], jnp.ndarray] = _identity
     psum_pixel: Callable[[jnp.ndarray], jnp.ndarray] = _identity
     gather_pixels: Callable[[jnp.ndarray], jnp.ndarray] = _identity
     my_pixels: Callable[[jnp.ndarray], jnp.ndarray] = _identity
@@ -276,11 +281,12 @@ def admm_iteration(
         "img_mse_per_node": img_mse,
         "img_mse_total": img_mse_total,
         "g_norm": res.g_norm,
-        # scalar slot: the loosest target (gates the batched trip count);
-        # eps_per_node: the eps actually applied to each node (differs under
-        # eps_rel) — the reference stores per-node eps used,
+        # scalar slot: the loosest target over ALL nodes (cross-shard max —
+        # the slot's out-spec is replicated, so every shard must write the
+        # same value); eps_per_node: the eps actually applied to each node
+        # (differs under eps_rel) — the reference stores per-node eps used,
         # block_6_admm_loop_ver2.py:310-326.
-        "eps_target": jnp.max(jnp.atleast_1d(eps_k)),
+        "eps_target": comm.pmax_repl(jnp.max(jnp.atleast_1d(eps_k))),
         "eps_per_node": jnp.broadcast_to(
             jnp.atleast_1d(eps_k).astype(X.dtype), (P_loc,)
         ),

@@ -110,6 +110,7 @@ def _run_sharded_jit(
         # inputs are pixel-gathered/replicated), so any_reduce and psum_repl
         # reduce over the node axis only.
         node_psum = _psum(NODE_AXIS)
+        node_pmax = lambda v: jax.lax.pmax(v, NODE_AXIS)  # noqa: E731
         if dp > 1:
             comm = CommOps(
                 pair_transpose=_pair_transpose(NODE_AXIS),
@@ -118,6 +119,7 @@ def _run_sharded_jit(
                     v.astype(jnp.int32), NODE_AXIS
                 ).astype(bool),
                 psum_repl=node_psum,
+                pmax_repl=node_pmax,
                 psum_pixel=_psum(PIXEL_AXIS),
                 gather_pixels=lambda v: jax.lax.all_gather(
                     v, PIXEL_AXIS, axis=v.ndim - 1, tiled=True
@@ -135,6 +137,7 @@ def _run_sharded_jit(
                     v.astype(jnp.int32), NODE_AXIS
                 ).astype(bool),
                 psum_repl=node_psum,
+                pmax_repl=node_pmax,
             )
 
         def cond(carry):

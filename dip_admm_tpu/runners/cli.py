@@ -46,18 +46,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eps0", type=float, default=2.0,
                    help="inexactness schedule eps_k = eps0/(k+1)^(1+gamma) "
                         "(ref block_6 ver2:100-103)")
-    p.add_argument("--check-every", type=int, default=10,
-                   help="inner iterations between stationarity checks")
+    p.add_argument("--check-every", type=int, default=None,
+                   help="inner iterations between stationarity checks "
+                        "(default 10; 25 when the --recommended preset "
+                        "engages eps_rel, matching the measured recipe)")
     p.add_argument("--plateau-tol", type=float, default=0.01,
                    help="early-exit when the stationarity residual stops "
                         "improving by this relative amount between checks "
                         "(0 disables)")
-    p.add_argument("--eps-rel", type=float, default=0.0,
+    p.add_argument("--eps-rel", type=float, default=None,
                    help="data-scale-relative inexactness: widen the "
                         "acceptance target to eps_rel*||A_i^T b_i||/"
                         "(k+1)^(1+gamma) per node (fires at every problem "
                         "size, unlike the reference's absolute eps0; "
-                        "0 = reference-parity absolute-only)")
+                        "0 = reference-parity absolute-only, the default — "
+                        "an explicit 0 also disables the --recommended "
+                        "preset's adaptive acceptance)")
     p.add_argument("--z-fusion", choices=["midpoint", "weighted"],
                    default="midpoint")
     p.add_argument("--relax-alpha", type=float, default=1.0,
@@ -67,8 +71,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "solver (pcv) + over-relaxation 1.8 + 50-iteration "
                         "inner budget (measured +2.3 dB over reference "
                         "defaults at equal wall clock, 256^2/8), plus "
-                        "eps_rel=0.005 at N>=512 (+0.9 dB at equal wall, "
-                        "512^2/8; RESULTS.md)")
+                        "eps_rel=0.005 + check_every=25 at N>=512 "
+                        "(+0.9 dB at equal wall, 512^2/8; RESULTS.md)")
     p.add_argument("--noise", type=float, default=0.005)
     p.add_argument("--phantom", choices=["const", "rand", "shepp"],
                    default="const")
@@ -163,23 +167,31 @@ def config_from_args(args) -> "ProblemConfig":
     relax_alpha = getattr(args, "relax_alpha", 1.0)
     algorithm = getattr(args, "algorithm", "cv")
     max_inner = getattr(args, "max_inner", None)
-    eps_rel = getattr(args, "eps_rel", 0.0)
+    eps_rel = getattr(args, "eps_rel", None)
+    check_every = getattr(args, "check_every", None)
     if getattr(args, "recommended", False):
         # Measured best operating point (RESULTS.md round-2 equal-wall-clock
         # study): preconditioned CV + over-relaxation 1.8 + 50-inner budget.
         # At 512^2+ the data-scale adaptive acceptance additionally wins
-        # (+0.9 dB at equal wall, round-3 recipe) — eps_rel 0.005 there.
-        # Explicit flags win over the preset.
+        # (+0.9 dB at equal wall, round-3 recipe, measured with
+        # check_every=25 — the preset matches that cadence). Explicit flags
+        # win over the preset (None = unset, so an explicit 0 sticks).
         if relax_alpha == 1.0:
             relax_alpha = 1.8
         if algorithm == "cv":
             algorithm = "pcv"
         if max_inner is None:
             max_inner = 50
-        if eps_rel == 0.0 and args.N >= 512:
+        if eps_rel is None and args.N >= 512:
             eps_rel = 0.005
+            if check_every is None:
+                check_every = 25
     if max_inner is None:
         max_inner = 200  # the reference's SCS per-solve cap
+    if eps_rel is None:
+        eps_rel = 0.0
+    if check_every is None:
+        check_every = 10
     return ProblemConfig(
         geometry=GeometryConfig(
             N=args.N, num_nodes=args.nodes, angles_total=args.angles,
@@ -198,7 +210,7 @@ def config_from_args(args) -> "ProblemConfig":
                 max_inner=max_inner,
                 algorithm=algorithm,
                 eps0=getattr(args, "eps0", 2.0),
-                check_every=getattr(args, "check_every", 10),
+                check_every=check_every,
                 plateau_tol=getattr(args, "plateau_tol", 0.01),
                 eps_rel=eps_rel,
             ),

@@ -53,7 +53,11 @@ def run_size(N, P, outer, eps_rels=(0.0, 0.02, 0.05, 0.1), reps=3):
         acfg = dataclasses.replace(
             cfg.admm, node=dataclasses.replace(cfg.admm.node, eps_rel=er)
         )
-        admm.run_admm(problem, dataclasses.replace(acfg, max_iters=2))
+        # Block on the warm-up so its queued device work cannot leak into
+        # the first timed rep (the dispatch is asynchronous).
+        jax.block_until_ready(
+            admm.run_admm(problem, dataclasses.replace(acfg, max_iters=2))
+        )
         best = float("inf")
         res = None
         for _ in range(reps):
@@ -105,7 +109,11 @@ def run_equal_wall(N, P, pairs, reps=2, seg=20):
             cfg.admm, max_iters=outer,
             node=dataclasses.replace(cfg.admm.node, eps_rel=er),
         )
-        admm.run_admm(problem, dataclasses.replace(acfg, max_iters=2))
+        # Block on the warm-up so its queued device work cannot leak into
+        # the first timed rep (the dispatch is asynchronous).
+        jax.block_until_ready(
+            admm.run_admm(problem, dataclasses.replace(acfg, max_iters=2))
+        )
         best = float("inf")
         res = None
         for _ in range(reps):

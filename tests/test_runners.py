@@ -198,13 +198,26 @@ def test_recommended_preset_sets_operating_point():
     cfg = cli.config_from_args(cli.build_parser().parse_args(
         ["--N", "512", "--nodes", "2", "--recommended"]))
     assert cfg.admm.node.eps_rel == 0.005
+    # ... with the check cadence the recipe was measured at (ADVICE r3).
+    assert cfg.admm.node.check_every == 25
     cfg = cli.config_from_args(cli.build_parser().parse_args(
         ["--N", "16", "--nodes", "2", "--recommended"]))
     assert cfg.admm.node.eps_rel == 0.0
+    assert cfg.admm.node.check_every == 10
     cfg = cli.config_from_args(cli.build_parser().parse_args(
         ["--N", "512", "--nodes", "2", "--recommended",
          "--eps-rel", "0.02"]))
     assert cfg.admm.node.eps_rel == 0.02
+    # An explicit --eps-rel 0 disables the preset's adaptive acceptance
+    # (0.0 used to double as the unset sentinel; now None is).
+    cfg = cli.config_from_args(cli.build_parser().parse_args(
+        ["--N", "512", "--nodes", "2", "--recommended", "--eps-rel", "0"]))
+    assert cfg.admm.node.eps_rel == 0.0
+    # An explicit --check-every wins over the preset cadence.
+    cfg = cli.config_from_args(cli.build_parser().parse_args(
+        ["--N", "512", "--nodes", "2", "--recommended",
+         "--check-every", "5"]))
+    assert cfg.admm.node.check_every == 5
 
 
 def test_cli_per_node_phantoms(tmp_path, capsys):

