@@ -86,6 +86,10 @@ class NodeSolverConfig:
     max_inner: int = 200
     check_every: int = 10
     # Inner algorithm: "cv" = Condat-Vu (smooth LS part by gradient),
+    # "fcv" = Condat-Vu in a per-node circulant (Fourier) metric — the CT
+    # normal operator A^T A is near shift-invariant, so one 2-D transfer
+    # function captures its spectral decay where diagonal preconditioners
+    # cannot (core.node_solver.build_fourier_precond),
     # "pcv" = per-pixel SART/Jacobi preconditioned CV, "ppdhg" = diagonally
     # preconditioned PDHG (Pock-Chambolle steps from matrix-free |K|
     # row/column sums — the standard CT recipe), or "fista" = accelerated

@@ -110,6 +110,9 @@ class NodeBlockData(NamedTuple):
     x_true: jnp.ndarray  # [n]
     N: int
     g_scale: jnp.ndarray = None  # [P_loc] ||A_i^T b_i|| (eps_rel anchor)
+    # Circulant metric for algorithm="fcv" (built once per run outside the
+    # while_loop — the symbol/steps depend only on the operator and Q).
+    fprecond: node_solver.FourierPrecond = None
 
 
 HISTORY_FIELDS = (
@@ -197,6 +200,7 @@ def admm_iteration(
         data.fwd, data.adj, data.b, D_vec, b_cons, c_quad,
         cfg.lam_tv, cfg.rho, data.L, nstate, eps_k, cfg.node, data.N,
         any_reduce=comm.any_reduce,
+        fprecond=data.fprecond,
     )
     Xn = res.state.x
 
@@ -312,6 +316,12 @@ def _block_data(problem: Problem, cfg: AdmmConfig, dtype) -> NodeBlockData:
     # Per-node data scale for the eps_rel schedule (hoisted out of the
     # while_loop: one adjoint application per run, not per iteration).
     g_scale = jnp.linalg.norm(problem.adjoint(problem.b), axis=1)
+    fprecond = None
+    if cfg.node.algorithm == "fcv":
+        fprecond = node_solver.build_fourier_precond(
+            problem.forward, problem.adjoint,
+            jnp.sum(problem.Q, axis=1), cfg.rho, cfg.node, problem.N,
+        )
     return NodeBlockData(
         fwd=problem.forward,
         adj=problem.adjoint,
@@ -324,6 +334,7 @@ def _block_data(problem: Problem, cfg: AdmmConfig, dtype) -> NodeBlockData:
         x_true=problem.x_true,
         N=problem.N,
         g_scale=g_scale,
+        fprecond=fprecond,
     )
 
 
@@ -391,6 +402,79 @@ def _run_admm_jit(
 
     state, hist = jax.lax.while_loop(cond, body, (state, hist))
     return AdmmResult(x=state.node.x, history=hist, n_iters=state.k, state=state)
+
+
+def pick_segment_length(
+    s_per_outer: float, remaining: int, target_wall_s: float = 18.0
+) -> int:
+    """Outer iterations per dispatch so one device program stays below
+    ``target_wall_s`` wall clock. The TPU relay reproducibly kills single
+    dispatches running ≳30-40 s (RESULTS.md); 18 s leaves ~2x margin.
+    A non-positive estimate (first segment, or a clock anomaly) runs the
+    whole remainder."""
+    if s_per_outer <= 0:
+        return max(1, remaining)
+    return max(1, min(remaining, int(target_wall_s / s_per_outer)))
+
+
+def run_admm_auto(
+    problem: Problem,
+    cfg: AdmmConfig | None = None,
+    mesh=None,
+    target_wall_s: float = 18.0,
+    probe_iters: int = 2,
+    state: AdmmState | None = None,
+    hist: dict | None = None,
+) -> AdmmResult:
+    """Self-segmenting driver: identical results to ``run_admm`` /
+    ``run_admm_sharded`` (same ``state/hist/until`` resume contract, one
+    shared compilation), but each device dispatch is capped below
+    ``target_wall_s`` so the relay's long-dispatch kill cannot hit a naive
+    long run (VERDICT r3 #5; the reference's chunked-solve intent,
+    ``block_6_admm_loop.py:14-69``).
+
+    Two short probe segments run first: the first absorbs compilation, the
+    second times steady-state s/outer. Thereafter segments are sized from
+    the BEST observed rate (the relay stalls intermittently for seconds —
+    a stalled segment must not shrink subsequent ones, CLAUDE.md)."""
+    import time
+
+    cfg = cfg if cfg is not None else problem.cfg.admm
+    if mesh is not None:
+        from dip_admm_tpu.parallel import admm_sharded
+
+        runner = functools.partial(admm_sharded.run_admm_sharded, mesh=mesh)
+    else:
+        runner = run_admm
+    if state is None:
+        state, hist = init_state(problem, cfg)
+    res = None
+    s_est = 0.0  # best observed seconds/outer (0 = unknown)
+    first = True
+    while True:
+        k0 = int(state.k)
+        if k0 >= cfg.max_iters:
+            break
+        remaining = cfg.max_iters - k0
+        if first or s_est <= 0:
+            seg = min(probe_iters, remaining)
+        else:
+            seg = pick_segment_length(s_est, remaining, target_wall_s)
+        t0 = time.perf_counter()
+        res = runner(problem, cfg, state=state, hist=hist, until=k0 + seg)
+        state, hist = res.state, res.history
+        done = int(state.k) - k0  # forces the host sync the timer needs
+        wall = time.perf_counter() - t0
+        if not first and done > 0:
+            rate = wall / done
+            s_est = rate if s_est <= 0 else min(s_est, rate)
+        first = False
+        if bool(state.stop):
+            break
+    if res is None:  # max_iters == 0 resume edge: nothing left to run
+        res = AdmmResult(x=state.node.x, history=hist, n_iters=state.k,
+                         state=state)
+    return res
 
 
 def run_admm_snapshots(

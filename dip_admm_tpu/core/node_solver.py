@@ -53,6 +53,108 @@ class NodeState(NamedTuple):
     tk: jnp.ndarray  # [P] fista t-sequence (ones when unused)
 
 
+class FourierPrecond(NamedTuple):
+    """Circulant (Fourier-diagonal) metric for the ``fcv`` inner algorithm.
+
+    For parallel-beam CT the node normal operator ``A_i^T A_i`` is
+    near shift-invariant (Fourier slice theorem: backprojection of the
+    node's angular wedge is approximately a convolution with a ~1/|r|
+    kernel restricted to that wedge), so its spectrum is captured by one
+    per-node 2-D transfer function — estimated by probing with a centered
+    impulse. The metric ``M = F^-1 diag(m_hat) F`` then matches the
+    smooth part's curvature far better than any pixel-diagonal
+    preconditioner (pcv/ppdhg), which cannot represent CT's spectral
+    decay at all. The analogue of the Anderson-accelerated cone solves
+    SCS brings to the same subproblem in the reference
+    (``block_6_admm_loop_ver2.py:123``).
+    """
+
+    m_hat: jnp.ndarray  # [P, N, N//2+1] real positive Fourier symbol of M
+    step: jnp.ndarray  # [P] primal step scale s: T = s * M^-1
+    sigma: jnp.ndarray  # [P] dual (TV) step
+
+
+def build_fourier_precond(
+    fwd: Callable[[jnp.ndarray], jnp.ndarray],
+    adj: Callable[[jnp.ndarray], jnp.ndarray],
+    D_vec: jnp.ndarray,  # [P, n] = sum_j Q_ij (constant across outer iters)
+    rho: float,
+    cfg: NodeSolverConfig,
+    N: int,
+    n_power: int = 12,
+) -> FourierPrecond:
+    """One-time setup for ``fcv``: per-node circulant symbol + safe steps.
+
+    The symbol is ``m_hat = max(Re F[PSF], 0) + rho*mean(D) + delta`` with
+    ``PSF = A^T A delta_center`` (one operator apply per run). The primal
+    step ``s`` is certified by a power method on ``M^-1 (H/2 + sigma K^T K)``
+    (H = A^T A + rho diag(D), K = TV gradient): the Condat-Vu metric
+    condition ``T^-1 >= grad^2 f / 2 + K^T Sigma K`` holds with
+    ``T = s M^-1`` iff ``s <= 1/lambda_max`` — the circulant only has to
+    *approximate* H for speed; the power bound keeps it convergent even
+    where it misfits (image boundary, masked pixels, fan-beam rebin).
+    """
+    P, n = D_vec.shape
+    dtype = D_vec.dtype
+    center = (N // 2) * N + (N // 2)
+    e = jnp.zeros((P, n), dtype).at[:, center].set(1.0)
+    psf = adj(fwd(e)).reshape(P, N, N)
+    # Move the impulse response to the origin so its FFT is (near-)real.
+    psf = jnp.roll(psf, (-(N // 2), -(N // 2)), axis=(1, 2))
+    m_hat_A = jnp.maximum(jnp.fft.rfft2(psf).real, 0.0)
+    d_mean = jnp.mean(D_vec, axis=1)  # [P]
+    m_hat = m_hat_A + rho * d_mean[:, None, None]
+    m_hat = jnp.maximum(
+        m_hat, 1e-6 * jnp.max(m_hat, axis=(1, 2), keepdims=True)
+    ).astype(dtype)
+
+    # Dual step on the same local scale as cv's (sigma * ||K||^2 ~ L/2 with
+    # L the consensus-quadratic curvature): keeps sigma K^T K from
+    # dominating the metric bound while the lam_tv-ball projection
+    # saturates the TV dual within a few steps regardless.
+    Ksq = tv.GRAD_OPNORM_SQ
+    sigma = (cfg.sigma_scale * rho * d_mean / (2.0 * Ksq)).astype(dtype)
+
+    def H(x):  # [P, n] smooth-part Hessian apply
+        return adj(fwd(x)) + rho * (D_vec * x)
+
+    def KtK(x):
+        gx, gy = tv.grad(x.reshape(P, N, N))
+        return tv.grad_adjoint(gx, gy).reshape(P, -1)
+
+    def S(x):  # the operator whose M-spectral radius certifies the step
+        return 0.5 * H(x) + sigma[:, None] * KtK(x)
+
+    def Minv(r):
+        R = jnp.fft.rfft2(r.reshape(P, N, N))
+        return jnp.fft.irfft2(R / m_hat, s=(N, N)).reshape(P, -1)
+
+    # Deterministic broadband start (seeded normal): power method on
+    # M^-1 S, Rayleigh quotient in the M inner product. The SAME start
+    # vector for every node — a [P, n] draw would make the certified step
+    # depend on how the node batch is sliced across shards (mesh parity).
+    v = jnp.broadcast_to(
+        jax.random.normal(jax.random.PRNGKey(0), (n,), dtype), (P, n)
+    )
+
+    def power_step(_, v):
+        w = Minv(S(v))
+        return w / jnp.maximum(
+            jnp.linalg.norm(w, axis=1, keepdims=True), 1e-30
+        )
+
+    v = jax.lax.fori_loop(0, n_power, power_step, v)
+    num = jnp.sum(v * S(v), axis=1)
+    Mv = jnp.fft.irfft2(
+        m_hat * jnp.fft.rfft2(v.reshape(P, N, N)), s=(N, N)
+    ).reshape(P, -1)
+    den = jnp.maximum(jnp.sum(v * Mv, axis=1), 1e-30)
+    lam_max = num / den
+    # 0.9: margin for power-method underestimation of the true radius.
+    step = (0.9 / jnp.maximum(lam_max, 1e-30)).astype(dtype)
+    return FourierPrecond(m_hat=m_hat, step=step, sigma=sigma)
+
+
 class NodeSolveResult(NamedTuple):
     state: NodeState
     g_norm: jnp.ndarray  # [P] final stationarity residual norms
@@ -95,6 +197,7 @@ def solve_nodes(
     # None = this shard's nodes only. Passing the mesh reduction makes every
     # shard run the same inner trip count — exact parity with the
     # single-device batched solve, at one scalar collective per check.
+    fprecond: FourierPrecond | None = None,  # required for algorithm="fcv"
 ) -> NodeSolveResult:
     P = b.shape[0]
     dtype = state.x.dtype
@@ -124,6 +227,34 @@ def solve_nodes(
             x, ux, uy = st.x, st.ux, st.uy
             ktu = tv.grad_adjoint(ux, uy).reshape(P, -1)
             x_new = x - tau_c * (grad_f(x) + ktu)
+            xb = (2.0 * x_new - x).reshape(P, N, N)
+            gx, gy = tv.grad(xb)
+            ux, uy = tv.project_l2_ball(
+                ux + sig_im * gx, uy + sig_im * gy, lam_im
+            )
+            return st._replace(x=x_new, ux=ux, uy=uy)
+
+    elif cfg.algorithm == "fcv":
+        # Circulant-metric Condat-Vu: the gradient step runs in the Fourier
+        # metric T = s * M^-1 built by ``build_fourier_precond`` (the
+        # near-shift-invariance of A^T A for CT nodes — VERDICT r3 #1).
+        # Identical fixed-point and acceptance semantics to cv; only the
+        # metric (and therefore the iteration count) changes.
+        if fprecond is None:
+            raise ValueError("algorithm='fcv' requires fprecond "
+                             "(build_fourier_precond)")
+        m_hat = fprecond.m_hat
+        s_col = fprecond.step[:, None]
+        sig_im = fprecond.sigma[:, None, None]
+
+        def Minv(r):
+            R = jnp.fft.rfft2(r.reshape(P, N, N))
+            return jnp.fft.irfft2(R / m_hat, s=(N, N)).reshape(P, -1)
+
+        def inner_step(_, st: NodeState) -> NodeState:
+            x, ux, uy = st.x, st.ux, st.uy
+            ktu = tv.grad_adjoint(ux, uy).reshape(P, -1)
+            x_new = x - s_col * Minv(grad_f(x) + ktu)
             xb = (2.0 * x_new - x).reshape(P, N, N)
             gx, gy = tv.grad(xb)
             ux, uy = tv.project_l2_ball(

@@ -217,9 +217,8 @@ def save_checkpoint_async(path: str, state: AdmmState, hist: dict) -> None:
     try:
         nc.pack_npz(path, payload)
     except RuntimeError:
-        # The packer writes zip32 archives; past ~4 GiB of state (reachable:
-        # Z/Y are [P, P, n]) it refuses rather than truncate. numpy's zipfile
-        # writes zip64, so the synchronous writer still succeeds.
+        # Defensive only: the packer writes zip64 records past the 4 GiB /
+        # 65535-member zip32 limits, so size is never a reason to land here.
         _save_npz(path, payload)
 
 

@@ -101,10 +101,24 @@ def _run_sharded_jit(
             tables if mode.startswith("fft") else None,
         )
 
+        fprecond = None
+        if cfg.node.algorithm == "fcv":
+            # Per-shard local setup (one operator apply + power method per
+            # run, no collectives): node solves see full images, so the
+            # pixel-partial D completes by all_gather first when dp > 1.
+            D_full = jnp.sum(Q, axis=1)
+            if dp > 1:
+                D_full = jax.lax.all_gather(
+                    D_full, PIXEL_AXIS, axis=1, tiled=True
+                )
+            fprecond = node_solver.build_fourier_precond(
+                fwd, adj, D_full, cfg.rho, cfg.node, N
+            )
         data = NodeBlockData(
             fwd=fwd, adj=adj, b=b, Q=Q, adjm=adjm.astype(dtype),
             W_own=W_blk, W_all=W_all, L=L_blk, x_true=x_true, N=N,
             g_scale=jnp.linalg.norm(adj(b), axis=1),
+            fprecond=fprecond,
         )
         # Inner-solve quantities are identical across pixel shards (their
         # inputs are pixel-gathered/replicated), so any_reduce and psum_repl

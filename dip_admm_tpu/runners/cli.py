@@ -36,9 +36,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-inner", type=int, default=None,
                    help="inner iteration budget per node solve (default 200 "
                         "= the reference's SCS cap; 50 under --recommended)")
-    p.add_argument("--algorithm", choices=["cv", "pcv", "ppdhg", "fista"],
+    p.add_argument("--algorithm",
+                   choices=["cv", "fcv", "pcv", "ppdhg", "fista"],
                    default="cv",
                    help="inner node-solver algorithm (cv = Condat-Vu, "
+                        "fcv = circulant/Fourier-metric CV — the CT normal "
+                        "operator is near shift-invariant, so a per-node "
+                        "Fourier preconditioner matches its spectral decay; "
                         "pcv = SART/Jacobi-preconditioned CV, ppdhg = "
                         "Pock-Chambolle preconditioned PDHG, fista = "
                         "accelerated proximal gradient with Chambolle "

@@ -120,12 +120,12 @@ def run_one_strategy(
             if bool(state.stop) or int(state.k) >= cfg.admm.max_iters:
                 break
         serialization.flush_checkpoints()
-    elif mesh is not None:
-        from dip_admm_tpu.parallel import admm_sharded
-
-        res = admm_sharded.run_admm_sharded(problem, cfg.admm, mesh=mesh)
     else:
-        res = admm.run_admm(problem, cfg.admm)
+        # Default path self-segments: each device dispatch stays below
+        # ~18 s wall so the relay's 30-40 s kill cannot hit a naive long
+        # run (e.g. --N 512 --max-iters 200 with no extra flags); results
+        # and compilation are identical to one unsegmented dispatch.
+        res = admm.run_admm_auto(problem, cfg.admm, mesh=mesh)
 
     n_iters = int(res.n_iters)
     x = np.asarray(res.x)

@@ -78,6 +78,7 @@ def _load():
         lib.cp_commit.argtypes = [ctypes.c_longlong, ctypes.c_char_p]
         lib.cp_abort.argtypes = [ctypes.c_longlong]
         lib.cp_flush.argtypes = []
+        lib.cp_set_zip64_threshold.argtypes = [ctypes.c_ulonglong]
         lib.cp_init(1)
         _lib = lib
         return lib
@@ -128,6 +129,13 @@ def pack_npz(path: str, arrays: dict) -> None:
     finally:
         if handle is not None:
             lib.cp_abort(handle)
+
+
+def set_zip64_threshold(threshold: int) -> None:
+    """Test hook: sizes/offsets at or above ``threshold`` use zip64 records
+    (spec value 4 GiB; lowering it exercises the zip64 paths with small
+    payloads). Pass 0 to restore the spec threshold."""
+    _load().cp_set_zip64_threshold(ctypes.c_ulonglong(threshold))
 
 
 def flush() -> None:

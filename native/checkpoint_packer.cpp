@@ -23,6 +23,7 @@
 //   cp_flush() -> n_failed             block until queued writes hit disk;
 //                                      returns #writes that FAILED since the
 //                                      last flush (previous file kept)
+//   cp_set_zip64_threshold(t)          test hook: lower the zip64 cut-over
 // dtype codes: 0='<f4' 1='<f8' 2='<i4' 3='<i8' 4='|b1' 5='|u1'.
 // All submit calls copy their buffers; callers may free immediately.
 
@@ -190,63 +191,125 @@ void put_le32(std::vector<uint8_t>& v, uint32_t x) {
 // can raise or fall back to the synchronous writer.
 std::atomic<int> g_write_errors{0};
 
-// Minimal stored-method zip (np.load-compatible). Sizes are checked by
-// cp_commit against the zip32 limits before the job is queued.
+void put_le64(std::vector<uint8_t>& v, uint64_t x) {
+  for (int i = 0; i < 8; ++i) v.push_back((x >> (8 * i)) & 0xff);
+}
+
+// Any size/offset at or above this switches the record to zip64. The spec
+// value is 0xFFFFFFFF; tests lower it via cp_set_zip64_threshold so the
+// zip64 paths are exercised without multi-GiB payloads.
+std::atomic<uint64_t> g_zip64_threshold{0xFFFFFFFFull};
+
+// Minimal stored-method zip with zip64 records (np.load / python zipfile
+// compatible), so >4 GiB checkpoint states (512^2/64-node Z/Y) stay on the
+// async path instead of falling back to the blocking numpy writer.
 void write_zip(const std::string& path, const std::vector<Member>& members) {
+  const uint64_t lim = g_zip64_threshold.load();
   std::vector<uint8_t> out;
   struct DirEnt {
     std::string name;
-    uint32_t crc, size, offset;
+    uint32_t crc;
+    uint64_t size, offset;
   };
   std::vector<DirEnt> dir;
+  bool any64 = false;
   for (const auto& m : members) {
-    uint32_t offset = (uint32_t)out.size();
+    uint64_t offset = out.size();
     uint32_t crc = crc32(0, m.bytes.data(), (uInt)m.bytes.size());
-    uint32_t sz = (uint32_t)m.bytes.size();
+    uint64_t sz = m.bytes.size();
+    bool f64 = sz >= lim;                // sizes overflow the 32-bit fields
+    any64 = any64 || f64;
     put_le32(out, 0x04034b50);           // local file header
-    put_le16(out, 20);                   // version needed
+    put_le16(out, f64 ? 45 : 20);        // version needed
     put_le16(out, 0);                    // flags
     put_le16(out, 0);                    // method: stored
     put_le16(out, 0);                    // mod time
     put_le16(out, 0);                    // mod date
     put_le32(out, crc);
-    put_le32(out, sz);                   // compressed size
-    put_le32(out, sz);                   // uncompressed size
+    if (f64) {                           // sizes live in the zip64 extra
+      put_le32(out, 0xFFFFFFFFu);        // compressed size
+      put_le32(out, 0xFFFFFFFFu);        // uncompressed size
+    } else {
+      put_le32(out, (uint32_t)sz);
+      put_le32(out, (uint32_t)sz);
+    }
     put_le16(out, (uint16_t)m.name.size());
-    put_le16(out, 0);                    // extra len
+    put_le16(out, f64 ? 20 : 0);         // extra len
     out.insert(out.end(), m.name.begin(), m.name.end());
+    if (f64) {
+      put_le16(out, 0x0001);             // zip64 extra field tag
+      put_le16(out, 16);                 // original + compressed, 8 B each
+      put_le64(out, sz);                 // original (uncompressed) size
+      put_le64(out, sz);                 // compressed size
+    }
     out.insert(out.end(), m.bytes.begin(), m.bytes.end());
     dir.push_back({m.name, crc, sz, offset});
   }
-  uint32_t dir_start = (uint32_t)out.size();
+  uint64_t dir_start = out.size();
   for (const auto& d : dir) {
+    bool sz64 = d.size >= lim;
+    bool off64 = d.offset >= lim;
+    any64 = any64 || sz64 || off64;
+    uint16_t extra_len = (sz64 ? 16 : 0) + (off64 ? 8 : 0) +
+                         ((sz64 || off64) ? 4 : 0);
     put_le32(out, 0x02014b50);           // central directory header
-    put_le16(out, 20);                   // version made by
-    put_le16(out, 20);                   // version needed
+    put_le16(out, 45);                   // version made by
+    put_le16(out, (sz64 || off64) ? 45 : 20);  // version needed
     put_le16(out, 0);                    // flags
     put_le16(out, 0);                    // method
     put_le16(out, 0);                    // time
     put_le16(out, 0);                    // date
     put_le32(out, d.crc);
-    put_le32(out, d.size);
-    put_le32(out, d.size);
+    put_le32(out, sz64 ? 0xFFFFFFFFu : (uint32_t)d.size);
+    put_le32(out, sz64 ? 0xFFFFFFFFu : (uint32_t)d.size);
     put_le16(out, (uint16_t)d.name.size());
-    put_le16(out, 0);                    // extra
+    put_le16(out, extra_len);            // extra
     put_le16(out, 0);                    // comment
     put_le16(out, 0);                    // disk number
     put_le16(out, 0);                    // internal attrs
     put_le32(out, 0);                    // external attrs
-    put_le32(out, d.offset);
+    put_le32(out, off64 ? 0xFFFFFFFFu : (uint32_t)d.offset);
     out.insert(out.end(), d.name.begin(), d.name.end());
+    if (sz64 || off64) {
+      // zip64 extra: only the overflowed fields, in spec order
+      // (uncompressed, compressed, offset).
+      put_le16(out, 0x0001);
+      put_le16(out, extra_len - 4);
+      if (sz64) {
+        put_le64(out, d.size);
+        put_le64(out, d.size);
+      }
+      if (off64) put_le64(out, d.offset);
+    }
   }
-  uint32_t dir_size = (uint32_t)out.size() - dir_start;
+  uint64_t dir_size = out.size() - dir_start;
+  bool eocd64 = any64 || dir.size() >= 0xFFFF || dir_size >= lim ||
+                dir_start >= lim;
+  if (eocd64) {
+    uint64_t eocd64_start = out.size();
+    put_le32(out, 0x06064b50);           // zip64 end of central directory
+    put_le64(out, 44);                   // record size (fixed fields)
+    put_le16(out, 45);                   // version made by
+    put_le16(out, 45);                   // version needed
+    put_le32(out, 0);                    // disk
+    put_le32(out, 0);                    // dir disk
+    put_le64(out, dir.size());
+    put_le64(out, dir.size());
+    put_le64(out, dir_size);
+    put_le64(out, dir_start);
+    put_le32(out, 0x07064b50);           // zip64 EOCD locator
+    put_le32(out, 0);                    // disk with the zip64 EOCD
+    put_le64(out, eocd64_start);
+    put_le32(out, 1);                    // total disks
+  }
   put_le32(out, 0x06054b50);             // end of central directory
   put_le16(out, 0);                      // disk
   put_le16(out, 0);                      // dir disk
-  put_le16(out, (uint16_t)dir.size());
-  put_le16(out, (uint16_t)dir.size());
-  put_le32(out, dir_size);
-  put_le32(out, dir_start);
+  uint16_t n16 = dir.size() >= 0xFFFF ? 0xFFFF : (uint16_t)dir.size();
+  put_le16(out, n16);
+  put_le16(out, n16);
+  put_le32(out, dir_size >= lim ? 0xFFFFFFFFu : (uint32_t)dir_size);
+  put_le32(out, dir_start >= lim ? 0xFFFFFFFFu : (uint32_t)dir_start);
   put_le16(out, 0);                      // comment len
 
   // Atomic + checked: any failure (open, short write, fsync, close, rename)
@@ -309,11 +372,8 @@ int cp_commit(long long handle, const char* path) {
     members = std::move(it->second);
     ps.open.erase(it);
   }
-  // zip32 guard: headers + members must stay under 4 GiB and < 65535 files.
-  size_t total = 22;
-  for (const auto& m : members)
-    total += 2 * (30 + 16 + m.name.size()) + m.bytes.size() + 46;
-  if (total >= 0xFFFFFFF0ull || members.size() >= 0xFFFF) return 3;
+  // No size guard: write_zip emits zip64 records past the 4 GiB / 65535-
+  // member zip32 limits, so arbitrarily large states stay on the async path.
   std::string p(path);
   pool().submit([p, members = std::move(members)] { write_zip(p, members); });
   return 0;
@@ -331,6 +391,12 @@ int cp_abort(long long handle) {
 int cp_flush() {
   pool().flush();
   return g_write_errors.exchange(0);
+}
+
+// Test hook: lower the zip64 switch-over so the zip64 record paths are
+// exercised without multi-GiB payloads. 0 restores the spec threshold.
+void cp_set_zip64_threshold(unsigned long long t) {
+  g_zip64_threshold.store(t ? t : 0xFFFFFFFFull);
 }
 
 }  // extern "C"

@@ -185,3 +185,76 @@ def test_per_node_phantoms():
     clean0 = problem.forward(imgs0)
     diff = np.abs(np.asarray(clean0[1]) - np.asarray(problem.b[1]))
     assert diff.max() > 1.0  # not just the 0.005 noise
+
+
+def test_pick_segment_length():
+    """Segment sizing for the relay's long-dispatch kill (VERDICT r3 #5):
+    cap below target wall, at least 1 outer, never past the remainder,
+    and run everything when no rate estimate exists yet."""
+    assert admm.pick_segment_length(1.0, 200, target_wall_s=18.0) == 18
+    assert admm.pick_segment_length(30.0, 200, target_wall_s=18.0) == 1
+    assert admm.pick_segment_length(0.01, 5, target_wall_s=18.0) == 5
+    assert admm.pick_segment_length(0.0, 200, target_wall_s=18.0) == 200
+    assert admm.pick_segment_length(-1.0, 7) == 7
+
+
+def test_run_admm_auto_matches_unsegmented():
+    """The self-segmenting driver is bit-identical to one dispatch (same
+    state/hist/until contract); tiny target wall forces many segments."""
+    cfg = small_cfg()
+    problem = loader.build_problem(cfg)
+    ref = admm.run_admm(problem)
+    got = admm.run_admm_auto(
+        problem, target_wall_s=1e-9, probe_iters=2
+    )
+    assert int(got.n_iters) == int(ref.n_iters)
+    np.testing.assert_array_equal(np.asarray(got.x), np.asarray(ref.x))
+    for name, v in ref.history.items():
+        np.testing.assert_array_equal(
+            np.asarray(got.history[name]), np.asarray(v), err_msg=name
+        )
+
+
+def test_run_admm_auto_early_stop():
+    cfg = small_cfg()
+    # Loose tolerances: stops after the first iteration.
+    cfg = dataclasses.replace(
+        cfg, admm=dataclasses.replace(cfg.admm, eps_pri=1e3, eps_dual=1e3)
+    )
+    problem = loader.build_problem(cfg)
+    ref = admm.run_admm(problem)
+    got = admm.run_admm_auto(problem, target_wall_s=1e-9, probe_iters=1)
+    assert bool(ref.state.stop) and int(ref.n_iters) < cfg.admm.max_iters
+    assert int(got.n_iters) == int(ref.n_iters)
+    assert bool(got.state.stop)
+
+
+def test_fcv_quality_parity_and_fewer_inner_iters():
+    """The circulant-metric inner solver (fcv, VERDICT r3 #1) must hit the
+    same reconstruction/residual trajectory as cv at the same acceptance
+    contract while spending several-fold fewer inner iterations (the CT
+    normal operator is near shift-invariant, so the Fourier metric matches
+    its spectral decay; measured 104 -> 33 mean inner at 64^2)."""
+    from dip_admm_tpu.utils.imaging import psnr
+
+    cfg = small_cfg()
+    problem = loader.build_problem(cfg)
+    x_true = np.asarray(problem.x_true)
+    results = {}
+    for alg in ("cv", "fcv"):
+        acfg = dataclasses.replace(
+            cfg.admm,
+            node=dataclasses.replace(cfg.admm.node, algorithm=alg),
+        )
+        res = admm.run_admm(problem, acfg)
+        x = np.asarray(res.x)
+        results[alg] = {
+            "psnr": np.mean(
+                [psnr(xi, x_true, data_range=x_true.max()) for xi in x]
+            ),
+            "primal": float(res.history["primal"][int(res.n_iters) - 1]),
+            "inner": float(np.nanmean(res.history["inner_iters"])),
+        }
+    assert abs(results["fcv"]["psnr"] - results["cv"]["psnr"]) < 0.5
+    assert results["fcv"]["primal"] <= 1.2 * results["cv"]["primal"] + 1e-3
+    assert results["fcv"]["inner"] <= 0.7 * results["cv"]["inner"]

@@ -269,6 +269,77 @@ def test_pcv_ridge_oracle():
         )
 
 
+def test_fcv_ridge_oracle_worst_case_operator():
+    """The circulant-metric CV must stay CONVERGENT even when the circulant
+    model is maximally wrong: a dense Gaussian A is nowhere near
+    shift-invariant, so correctness rests entirely on the power-method step
+    certificate (build_fourier_precond), not on the model fitting."""
+    A, b, fwd, adj, opnorm, N = _random_problem()
+    P, m, n = A.shape
+    mu, rho = 0.5, 2.0
+    D_vec = jnp.full((P, n), mu)
+    cfg = NodeSolverConfig(max_inner=4000, check_every=50, algorithm="fcv",
+                           plateau_tol=0.0)
+    fp = node_solver.build_fourier_precond(fwd, adj, D_vec, rho, cfg, N)
+    res = node_solver.solve_nodes(
+        fwd, adj, b, D_vec, jnp.zeros((P, n)), jnp.zeros(P),
+        0.0, rho, jnp.ones((P,)), node_solver.init_state(P, N, b.shape[1]),
+        jnp.asarray(1e-5), cfg, N, fprecond=fp,
+    )
+    for i in range(P):
+        expected = np.asarray(linalg.ridge_solve(A[i], b[i], rho * mu))
+        np.testing.assert_allclose(
+            np.asarray(res.state.x[i]), expected, rtol=5e-3, atol=5e-3
+        )
+
+
+def test_fcv_tv_matches_cv_optimum():
+    A, b, fwd, adj, opnorm, N = _random_problem(P=1, m=48, n_side=8, seed=1)
+    P, m, n = A.shape
+    lam_tv, rho, mu = 0.05, 1.0, 0.3
+    D_vec = jnp.full((P, n), mu)
+    L = opnorm + rho * mu
+    cfg = NodeSolverConfig(max_inner=6000, check_every=100, algorithm="fcv",
+                           plateau_tol=0.0)
+    fp = node_solver.build_fourier_precond(fwd, adj, D_vec, rho, cfg, N)
+    res = node_solver.solve_nodes(
+        fwd, adj, b, D_vec, jnp.zeros((P, n)), jnp.zeros(P), lam_tv, rho, L,
+        node_solver.init_state(P, N, b.shape[1]), jnp.asarray(1e-6), cfg, N,
+        fprecond=fp,
+    )
+    x_fista = _fista_tv_reference(
+        A[0], b[0], D_vec[0], jnp.zeros(n), lam_tv, rho, float(L[0]), N,
+        iters=800,
+    )
+
+    def objective(x):
+        r = A[0] @ x - b[0]
+        quad = 0.5 * rho * jnp.sum(D_vec[0] * x * x)
+        return 0.5 * jnp.sum(r * r) + lam_tv * tv.tv_value(x.reshape(N, N)) + quad
+
+    o_fcv = float(objective(res.state.x[0]))
+    o_fi = float(objective(x_fista))
+    assert abs(o_fcv - o_fi) <= 1e-3 * max(abs(o_fi), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(res.state.x[0]), np.asarray(x_fista), atol=5e-2
+    )
+
+
+def test_fcv_requires_precond():
+    import pytest
+
+    A, b, fwd, adj, opnorm, N = _random_problem(P=1)
+    P, m, n = A.shape
+    cfg = NodeSolverConfig(algorithm="fcv")
+    with pytest.raises(ValueError, match="fprecond"):
+        node_solver.solve_nodes(
+            fwd, adj, b, jnp.full((P, n), 0.5), jnp.zeros((P, n)),
+            jnp.zeros(P), 0.0, 1.0, jnp.ones((P,)),
+            node_solver.init_state(P, N, b.shape[1]),
+            jnp.asarray(1e-5), cfg, N,
+        )
+
+
 def test_eps_rel_relative_acceptance():
     """eps_rel widens the acceptance target to a fraction of the per-node
     data scale ||A_i^T b_i|| — it must cut inner iterations without

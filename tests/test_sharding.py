@@ -348,3 +348,39 @@ def test_pixel_axis_fan_grouped():
     np.testing.assert_allclose(
         np.asarray(got.x), np.asarray(ref.x), rtol=3e-4, atol=3e-4
     )
+
+
+def test_sharded_fcv_parity():
+    """fcv on the node mesh: the per-shard Fourier-precond setup (impulse
+    probe + power method) must reproduce the single-device solve."""
+    problem = make_problem(P=4)
+    cfg = dataclasses.replace(
+        problem.cfg.admm,
+        node=dataclasses.replace(problem.cfg.admm.node, algorithm="fcv"),
+    )
+    ref = admm.run_admm(problem, cfg)
+    got = admm_sharded.run_admm_sharded(problem, cfg, mesh=meshlib.make_mesh(4))
+    assert int(got.n_iters) == int(ref.n_iters)
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x), rtol=2e-4, atol=2e-4
+    )
+    for name in ("primal", "dual", "g_norm", "inner_iters"):
+        np.testing.assert_allclose(
+            np.asarray(got.history[name]), np.asarray(ref.history[name]),
+            rtol=2e-3, atol=1e-5, err_msg=name,
+        )
+
+
+def test_pixel_mesh_fcv_parity():
+    problem = make_problem(P=4, N=16)
+    cfg = dataclasses.replace(
+        problem.cfg.admm,
+        node=dataclasses.replace(problem.cfg.admm.node, algorithm="fcv"),
+    )
+    ref = admm.run_admm(problem, cfg)
+    m = meshlib.make_mesh(2, pixel=2)
+    got = admm_sharded.run_admm_sharded(problem, cfg, mesh=m)
+    assert int(got.n_iters) == int(ref.n_iters)
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x), rtol=2e-4, atol=2e-4
+    )
