@@ -150,8 +150,13 @@ def build_fourier_precond(
     ).reshape(P, -1)
     den = jnp.maximum(jnp.sum(v * Mv, axis=1), 1e-30)
     lam_max = num / den
-    # 0.9: margin for power-method underestimation of the true radius.
-    step = (0.9 / jnp.maximum(lam_max, 1e-30)).astype(dtype)
+    # 0.7: the Rayleigh quotient UNDERestimates the spectral radius, and
+    # measured convergence of the power method on this operator is slow
+    # (near-degenerate top cluster: at 256^2 the estimate still crept up
+    # ~13% between 12 and 120 iterations). The margin absorbs that gap;
+    # the in-solve divergence monitor (halve + rollback on residual
+    # growth, solve_nodes fcv branch) guards the remaining tail.
+    step = (0.7 / jnp.maximum(lam_max, 1e-30)).astype(dtype)
     return FourierPrecond(m_hat=m_hat, step=step, sigma=sigma)
 
 
@@ -201,6 +206,7 @@ def solve_nodes(
 ) -> NodeSolveResult:
     P = b.shape[0]
     dtype = state.x.dtype
+    post_check = None  # optional per-algorithm hook run at every check
     # lam_tv may be a scalar or a per-node [P] vector (GraphProblem nodes
     # with different TV weights); normalize to broadcastable views.
     lam_vec = jnp.broadcast_to(jnp.asarray(lam_tv, dtype), (P,))
@@ -244,8 +250,15 @@ def solve_nodes(
             raise ValueError("algorithm='fcv' requires fprecond "
                              "(build_fourier_precond)")
         m_hat = fprecond.m_hat
-        s_col = fprecond.step[:, None]
         sig_im = fprecond.sigma[:, None, None]
+        # The per-node step lives in the (otherwise unused) ``tk`` state
+        # slot so the divergence monitor below can adapt it and warm starts
+        # carry the adapted value across outer iterations; ``xp`` holds the
+        # last-check snapshot of x for rollback. min() maps a fresh state
+        # (tk = ones) to the certified step and keeps an adapted one.
+        state = state._replace(
+            tk=jnp.minimum(state.tk, fprecond.step), xp=state.x
+        )
 
         def Minv(r):
             R = jnp.fft.rfft2(r.reshape(P, N, N))
@@ -254,13 +267,32 @@ def solve_nodes(
         def inner_step(_, st: NodeState) -> NodeState:
             x, ux, uy = st.x, st.ux, st.uy
             ktu = tv.grad_adjoint(ux, uy).reshape(P, -1)
-            x_new = x - s_col * Minv(grad_f(x) + ktu)
+            x_new = x - st.tk[:, None] * Minv(grad_f(x) + ktu)
             xb = (2.0 * x_new - x).reshape(P, N, N)
             gx, gy = tv.grad(xb)
             ux, uy = tv.project_l2_ball(
                 ux + sig_im * gx, uy + sig_im * gy, lam_im
             )
             return st._replace(x=x_new, ux=ux, uy=uy)
+
+        def post_check(st, g_norm, g_prev, g_min):
+            # Divergence monitor: the power-method certificate can
+            # under-resolve the spectral radius (slow convergence on the
+            # near-degenerate top cluster), so a node whose stationarity
+            # residual blew up past 5x its running minimum (primal-dual
+            # iterations are NOT ||g||-monotone — ordinary oscillation must
+            # not trigger) halves its step and rolls x back to the
+            # last-check snapshot (the TV duals are lam-ball projections —
+            # bounded — so only x needs rollback). The reported residual
+            # for a rolled-back node is its previous one.
+            bad = ~jnp.isfinite(g_norm) | (g_norm > 5.0 * g_min)
+            bad_c = bad[:, None]
+            st = st._replace(
+                tk=jnp.where(bad, st.tk * 0.5, st.tk),
+                x=jnp.where(bad_c, st.xp, st.x),
+                xp=jnp.where(bad_c, st.xp, st.x),
+            )
+            return st, jnp.where(bad, g_prev, g_norm), jnp.any(bad)
 
     elif cfg.algorithm == "pcv":
         # Per-pixel preconditioned Condat-Vu: the smooth part's curvature is
@@ -364,13 +396,18 @@ def solve_nodes(
         any_reduce = lambda v: v
 
     def cond(carry):
-        st, k, g_norm, active, acc = carry
+        st, k, g_norm, g_min, active, acc = carry
         return (k < cfg.max_inner) & active
 
     def body(carry):
-        st, k, g_prev, _, acc = carry
+        st, k, g_prev, g_min, _, acc = carry
         st = jax.lax.fori_loop(0, cfg.check_every, inner_step, st)
         g_norm = jnp.linalg.norm(g_residual(st.x), axis=1)
+        adjusted = jnp.asarray(False)
+        if post_check is not None:
+            st, g_norm, adjusted = post_check(st, g_norm, g_prev, g_min)
+        g_min = jnp.minimum(g_min, jnp.where(jnp.isfinite(g_norm), g_norm,
+                                             jnp.inf))
         # Per-node first-acceptance iteration (check_every granularity):
         # lanes keep running to the slowest node, but WHEN each node met its
         # target is observable here and recorded for the history.
@@ -392,14 +429,17 @@ def solve_nodes(
                     (g_prev - g_norm) > cfg.plateau_tol * jnp.abs(g_prev),
                 )
             )
-            unmet = unmet & improving
+            # A step adjustment (fcv divergence monitor) is progress even
+            # though the rolled-back residual shows none — don't let the
+            # plateau exit fire on the adjustment check itself.
+            unmet = unmet & (improving | adjusted)
         active = any_reduce(unmet)
-        return st, k + cfg.check_every, g_norm, active, acc
+        return st, k + cfg.check_every, g_norm, g_min, active, acc
 
     g0 = jnp.full((P,), jnp.inf, dtype)
     acc0 = jnp.full((P,), -1, jnp.int32)
-    st, k_used, g_norm, _, acc = jax.lax.while_loop(
-        cond, body, (state, jnp.int32(0), g0, jnp.asarray(True), acc0)
+    st, k_used, g_norm, _, _, acc = jax.lax.while_loop(
+        cond, body, (state, jnp.int32(0), g0, g0, jnp.asarray(True), acc0)
     )
     # If the loop never ran (already accepted), g0 is stale — recompute.
     g_norm = jnp.where(
