@@ -163,18 +163,28 @@ def make_node_ops(
             geo, r.reshape(r.shape[0], -1, D), tables
         ).reshape(r.shape[0], -1)
     elif mode == "fft_skew":
-        from dip_admm_tpu.ops import radon_fft as proj_mod
-
         if geo.fan_beam:
-            raise NotImplementedError("fft_skew supports parallel beam only")
-        if tables is None:
-            tables = proj_mod.precompute_shear(geo, angles, valid)
-        fwd = lambda x: proj_mod.project_nodes_skew(
-            geo, x.reshape(-1, N, N), tables
-        ).reshape(x.shape[0], -1)
-        adj = lambda r: proj_mod.backproject_nodes_skew(
-            geo, r.reshape(r.shape[0], -1, D), tables
-        ).reshape(r.shape[0], -1)
+            from dip_admm_tpu.ops import radon_fan as proj_mod
+
+            if tables is None:
+                tables = proj_mod.precompute_fan_skew(geo, angles, valid)
+            fwd = lambda x: proj_mod.project_nodes_fan_skew(
+                geo, x.reshape(-1, N, N), tables
+            ).reshape(x.shape[0], -1)
+            adj = lambda r: proj_mod.backproject_nodes_fan_skew(
+                geo, r.reshape(r.shape[0], -1, D), tables
+            ).reshape(r.shape[0], -1)
+        else:
+            from dip_admm_tpu.ops import radon_fft as proj_mod
+
+            if tables is None:
+                tables = proj_mod.precompute_shear(geo, angles, valid)
+            fwd = lambda x: proj_mod.project_nodes_skew(
+                geo, x.reshape(-1, N, N), tables
+            ).reshape(x.shape[0], -1)
+            adj = lambda r: proj_mod.backproject_nodes_skew(
+                geo, r.reshape(r.shape[0], -1, D), tables
+            ).reshape(r.shape[0], -1)
     elif mode == "fft_grouped":
         if geo.fan_beam:
             from dip_admm_tpu.ops import radon_fan as proj_mod
@@ -315,6 +325,8 @@ def build_fft_tables(cfg: ProblemConfig, angles, valid, mode: str = "fft"):
 
         if mode == "fft_grouped":
             return radon_fan.precompute_fan_grouped(geo, angles, valid, tdt)
+        if mode in ("fft_shear", "fft_skew"):
+            return radon_fan.precompute_fan_skew(geo, angles, valid, tdt)
         pre = lambda a, v: radon_fan.precompute_fan(geo, a, v, table_dtype=tdt)
     elif mode == "fft_mxu":
         from dip_admm_tpu.ops import radon_fft

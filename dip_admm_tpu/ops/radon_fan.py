@@ -363,6 +363,97 @@ def _rebin_apply_t(bar, t):
     )
 
 
+def precompute_fan_skew(
+    cfg: GeometryConfig,
+    beta: jnp.ndarray,  # [P, m] uniform per-node grids (node_angles)
+    valid=None,  # [P, m] bool
+    table_dtype=jnp.float32,
+):
+    """Tables for :func:`project_nodes_fan_skew`: the parallel rebin stage
+    on the FACTORED SHEAR/SKEW kernels (``radon_fft.precompute_shear`` with
+    the nonuniform rebinned detector grid — the round-3 fastest parallel
+    path, VERDICT r3 #3) + the angular rebin phase filter + angle-axis DFT
+    matrices + per-node row masks. The rebin tail is identical to the
+    grouped fan path; only the parallel stage changes kernels."""
+    assert cfg.fan_beam
+    P, m = beta.shape
+    if m % 2 != 0:
+        raise ValueError("fan rebinning needs an even angle count per node")
+    T_p = m // 2
+    theta, s_l, shift = _rebin_geometry(cfg, m)
+    par = radon_fft.precompute_shear(
+        _parallel_cfg(cfg), theta[None], valid=None,
+        table_dtype=table_dtype, dets=s_l,
+    )
+
+    @jax.jit
+    def rebin_filter(shift):
+        k = jnp.floor(shift)
+        fr = shift - k
+        F = T_p + 1  # rfft length of the m-periodic angle axis
+        f = jnp.arange(F, dtype=jnp.float32)
+        ang = (2.0 * jnp.pi / m) * f
+        bre = jnp.cos(ang[None, :] * k[:, None])  # [D, F]
+        bim = jnp.sin(ang[None, :] * k[:, None])
+        tre = (1.0 - fr)[:, None] + fr[:, None] * jnp.cos(ang)[None, :]
+        tim = fr[:, None] * jnp.sin(ang)[None, :]
+        return bre * tre - bim * tim, bre * tim + bim * tre
+
+    Rre, Rim = rebin_filter(shift)
+    Bre, Bim, Dre, Dim = jax.jit(radon_fft._dft_mats, static_argnums=(0, 1))(
+        m, m
+    )
+    if valid is None:
+        valid = jnp.ones((P, m), bool)
+    return {
+        "shared": {
+            "par": par,
+            "rebin_re": Rre.astype(jnp.float32),  # [D, F]
+            "rebin_im": Rim.astype(jnp.float32),
+            "Bre": Bre, "Bim": Bim,
+            "Dre": Dre, "Dim": Dim,
+        },
+        "fan_valid": valid.astype(jnp.float32),  # [P, m]
+    }
+
+
+def project_nodes_fan_skew(cfg: GeometryConfig, imgs, tables):
+    """Batched fan forward projection [P, N, N] -> [P, m, D]: the spatial
+    skew row stage + factored eval tail for the shared parallel stage,
+    then the DFT-matmul angular rebin."""
+    t = tables
+    cfg_par = _parallel_cfg(cfg)
+    T_p = t["fan_valid"].shape[1] // 2
+
+    def one(img):
+        return radon_fft.project_nodes_skew(
+            cfg_par, img[None], t["shared"]["par"], n_rows=T_p
+        )[0]
+
+    p = jax.vmap(one)(imgs)  # [P, T_p, D]
+    p2 = jnp.concatenate([p, p[:, :, ::-1]], axis=1)  # [P, m, D]
+    out = _rebin_apply(p2, t["shared"])
+    return (out * t["fan_valid"][:, :, None]).astype(imgs.dtype)
+
+
+def backproject_nodes_fan_skew(cfg: GeometryConfig, sinos, tables):
+    """Exact adjoint of :func:`project_nodes_fan_skew`, composed by hand
+    (verified against ``jax.linear_transpose`` in tests)."""
+    t = tables
+    cfg_par = _parallel_cfg(cfg)
+    T_p = t["fan_valid"].shape[1] // 2
+    ob = sinos.astype(jnp.float32) * t["fan_valid"][:, :, None]
+    p2_bar = _rebin_apply_t(ob, t["shared"])
+    p_bar = p2_bar[:, :T_p] + p2_bar[:, T_p:, ::-1]
+
+    def one(pb):
+        return radon_fft.backproject_nodes_skew(
+            cfg_par, pb[None].astype(sinos.dtype), t["shared"]["par"]
+        )[0]
+
+    return jax.vmap(one)(p_bar).astype(sinos.dtype)
+
+
 def project_nodes_fan_grouped(cfg: GeometryConfig, imgs, tables):
     """Batched fan forward projection [P, N, N] -> [P, m, D] on shared
     grouped parallel tables + the DFT-matmul rebin tail."""

@@ -607,7 +607,7 @@ def backproject_nodes_grouped(cfg: GeometryConfig, sinos, tables):
 
 def precompute_shear(
     cfg: GeometryConfig, angles, valid=None, table_dtype=jnp.float32,
-    nb: int = 128,
+    nb: int = 128, dets=None,
 ):
     """Factored shear tables for :func:`project_nodes_shear` (the MXU-cast
     filter-sum, ``ops.pallas.shear_sum``).
@@ -646,7 +646,14 @@ def precompute_shear(
     a32 = jnp.asarray(angles, jnp.float32)
 
     def one(a):
-        (Pr, Br, Cr, sr), (Pc, Bc, Cc, sc), use_r = _coeffs(cfg, a)
+        # ``dets`` (explicit, possibly nonuniform detector positions — the
+        # fan-beam rebinned grid) only moves the evaluation coordinates P;
+        # the row-stage shears depend on B/C alone. The eval tail's
+        # per-block tap span D2p is computed from the data, so a
+        # near-linear nonuniform grid just widens it slightly.
+        (Pr, Br, Cr, sr), (Pc, Bc, Cc, sc), use_r = _coeffs(
+            cfg, a, dets=dets
+        )
         a_idx = jnp.arange(N, dtype=jnp.float32)
         d_r = jnp.floor(jnp.min(Pr, axis=1))
         d_c = jnp.floor(jnp.min(Pc, axis=1))
@@ -824,11 +831,12 @@ def precompute_shear(
     }
 
 
-def project_nodes_shear(cfg: GeometryConfig, imgs, tables):
+def project_nodes_shear(cfg: GeometryConfig, imgs, tables, n_rows=None):
     """Batched forward projection [P, N, N] -> [P, T, D] on factored shear
     tables (:func:`precompute_shear`): DFT matmuls + the MXU shear-sum
     kernel + the factored MXU eval tail + slot unpermute. Parallel beam
-    only."""
+    only (``n_rows`` overrides the per-node angle count — the fan rebin
+    path runs this stage on T_fan/2 shared parallel angles)."""
     if cfg.fan_beam:
         raise NotImplementedError("fft_shear supports parallel beam only")
     from dip_admm_tpu.ops.pallas.filter_mxu import permute_rows
@@ -838,7 +846,7 @@ def project_nodes_shear(cfg: GeometryConfig, imgs, tables):
 
     t = tables
     sh = t["shared"]
-    T = max(cfg.angles_per_node())
+    T = max(cfg.angles_per_node()) if n_rows is None else n_rows
     rre2, rim2 = _plane_spectra(imgs, t)
     g_re, g_im = shear_sum_planes(
         rre2, rim2, t["Wt"], t["SEre"], t["SEim"], sh["Phire"], sh["Phiim"],
@@ -873,7 +881,7 @@ def backproject_nodes_shear(cfg: GeometryConfig, sinos, tables):
     return _plane_spectra_t(rre2_bar, rim2_bar, t, sinos.dtype)
 
 
-def project_nodes_skew(cfg: GeometryConfig, imgs, tables):
+def project_nodes_skew(cfg: GeometryConfig, imgs, tables, n_rows=None):
     """Batched forward projection [P, N, N] -> [P, T, D] via the SPATIAL
     skew row stage (mode "fft_skew", ``ops.pallas.shear_sum`` skew
     section): same factored shear tables as :func:`project_nodes_shear`,
@@ -888,7 +896,7 @@ def project_nodes_skew(cfg: GeometryConfig, imgs, tables):
 
     t = tables
     sh = t["shared"]
-    T = max(cfg.angles_per_node())
+    T = max(cfg.angles_per_node()) if n_rows is None else n_rows
     dtype = imgs.dtype
     imgs = imgs.astype(jnp.float32)
     rows2 = jnp.stack([imgs, imgs.transpose(0, 2, 1)], axis=1)  # [P,2,N,N]

@@ -160,3 +160,44 @@ def test_fan_grouped_matches_legacy_and_adjoint():
     lhs = float(jnp.sum(got * y))
     rhs = float(jnp.sum(imgs * aty))
     np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
+
+
+def test_fan_skew_matches_grouped_and_adjoint():
+    """The fan path on the SKEW kernels (shared factored-shear parallel
+    tables on the rebinned detector grid + DFT-matmul rebin, VERDICT r3 #3)
+    must match the grouped fan path to float precision (identical operator,
+    different kernels) and be an exact adjoint pair."""
+    import jax
+    import jax.numpy as jnp
+
+    from dip_admm_tpu.config import GeometryConfig
+    from dip_admm_tpu.ops import radon, radon_fan
+
+    cfg = GeometryConfig(
+        N=24, num_nodes=2, angles_total=64, fan_beam=True,
+        det_width_factor=2.0, src_radius=4.0, det_radius=4.0,
+    )
+    angles_np, valid_np, _ = radon.node_angles(cfg)
+    beta = jnp.asarray(angles_np, jnp.float32)
+    valid = jnp.asarray(valid_np)
+    P = beta.shape[0]
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (P, cfg.N, cfg.N))
+
+    tg = radon_fan.precompute_fan_grouped(cfg, beta, valid)
+    ts = radon_fan.precompute_fan_skew(cfg, beta, valid)
+    ref = radon_fan.project_nodes_fan_grouped(cfg, imgs, tg)
+    got = radon_fan.project_nodes_fan_skew(cfg, imgs, ts)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+    y = jax.random.normal(jax.random.PRNGKey(1), got.shape)
+    aty = radon_fan.backproject_nodes_fan_skew(cfg, y, ts)
+    np.testing.assert_allclose(
+        np.asarray(aty),
+        np.asarray(radon_fan.backproject_nodes_fan_grouped(cfg, y, tg)),
+        rtol=1e-5, atol=1e-5,
+    )
+    lhs = float(jnp.sum(got * y))
+    rhs = float(jnp.sum(imgs * aty))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-4)

@@ -292,3 +292,35 @@ def test_problem_roundtrip_with_tables(tmp_path):
         np.asarray(problem.forward(x)), np.asarray(reloaded.forward(x)),
         rtol=1e-6, atol=1e-6,
     )
+
+
+def test_fan_skew_problem_roundtrip(tmp_path):
+    # Fan-beam fft_skew tables nest the factored-shear parallel stage under
+    # shared/par/...; the recursive flatten must round-trip the whole tree.
+    import jax
+    import jax.numpy as jnp
+
+    from dip_admm_tpu.config import GeometryConfig
+
+    cfg = dataclasses.replace(
+        _cfg(max_iters=2),
+        geometry=GeometryConfig(
+            N=12, num_nodes=2, angles_total=24, fan_beam=True,
+            det_width_factor=2.0, src_radius=4.0, det_radius=4.0,
+        ),
+    )
+    problem = loader.build_problem(cfg, mode="fft_skew")
+    path = str(tmp_path / "fan_skew.npz")
+    serialization.save_problem(problem, path)
+    loaded = serialization.load_problem(path)
+    assert loaded.mode == "fft_skew"
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        problem.fft_tables, loaded.fft_tables,
+    )
+    x = jnp.ones((problem.num_nodes, problem.n), problem.b.dtype)
+    np.testing.assert_array_equal(
+        np.asarray(problem.forward(x)), np.asarray(loaded.forward(x))
+    )

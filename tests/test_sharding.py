@@ -384,3 +384,28 @@ def test_pixel_mesh_fcv_parity():
     np.testing.assert_allclose(
         np.asarray(got.x), np.asarray(ref.x), rtol=2e-4, atol=2e-4
     )
+
+
+def test_sharded_fan_skew_parity():
+    """Fan-beam fft_skew on the mesh: the shared factored-shear parallel
+    tables (nested under "shared") replicate, per-node row masks shard."""
+    cfg = ProblemConfig(
+        geometry=GeometryConfig(
+            N=12, num_nodes=4, angles_total=32, fan_beam=True,
+            det_width_factor=2.0, src_radius=4.0, det_radius=4.0,
+        ),
+        graph=GraphConfig(strategy="complete", k=0, seed=123),
+        admm=AdmmConfig(
+            lam_tv=0.02, rho=2.0, max_iters=5, eps_pri=1e-8, eps_dual=1e-8,
+            node=NodeSolverConfig(max_inner=40, check_every=20),
+        ),
+        noise_level=0.002,
+        phantom="const",
+    )
+    fan = loader.build_problem(cfg, mode="fft_skew")
+    m = meshlib.make_mesh(4)
+    got = admm_sharded.run_admm_sharded(fan, mesh=m)
+    ref = admm.run_admm(fan)
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x), rtol=2e-4, atol=2e-4
+    )
