@@ -825,6 +825,19 @@ def _skew_fwd_pallas_planes(rows2, Wt, SEre, SEim, Dre, Dim, plane,
             jax.ShapeDtypeStruct((PB, Tp, F), jnp.float32),
             jax.ShapeDtypeStruct((PB, Tp, F), jnp.float32),
         ),
+        cost_estimate=pl.CostEstimate(
+            # Tap matmuls (2*Tp*D2*N*WS per image) + in-kernel DFT-back
+            # (4*Tp*WZ*F); rows re-read once per angle block, tables once.
+            flops=2 * PB * Tp * D2 * NB * nb * WS
+            + 4 * PB * Tp * WZ * F,
+            bytes_accessed=PB * TB * NB * nb * WS * 4
+            + (PB // P)
+            * (Wt.size * Wt.dtype.itemsize
+               + 2 * SEre.size * SEre.dtype.itemsize)
+            + 2 * WZ * F * Dre.dtype.itemsize
+            + 2 * PB * Tp * F * 4,
+            transcendentals=0,
+        ),
         interpret=interpret,
     )(plane, rows2, Wt, SEre, SEim, Dre, Dim)
 
@@ -914,6 +927,20 @@ def _skew_t_pallas_planes(gre_b, gim_b, Wt, SEre, SEim, DreT, DimT, plane,
         kern,
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((PB, 2, N, WS), jnp.float32),),
+        cost_estimate=pl.CostEstimate(
+            # Transpose of the forward: DFT-forward (4*Tp*WZ*F) + tap
+            # matmuls (2*Tp*D2*N*WS per image); spectra read once per row
+            # block, tables once, output written once per angle block.
+            flops=2 * PB * Tp * D2 * NB * nb * WS
+            + 4 * PB * Tp * WZ * F,
+            bytes_accessed=2 * PB * NB * Tp * F * 4
+            + (PB // P)
+            * (Wt.size * Wt.dtype.itemsize
+               + 2 * SEre.size * SEre.dtype.itemsize)
+            + 2 * F * WZ * DreT.dtype.itemsize
+            + PB * TB * 2 * N * WS * 4,
+            transcendentals=0,
+        ),
         interpret=interpret,
     )(plane, pfirst, gre_b, gim_b, Wt, SEre, SEim, DreT, DimT)[0]
 

@@ -51,6 +51,26 @@ def time_chain(fn, args, tables, chain=50, reps=3):
     return best / chain
 
 
+# TPU v5e (the bench chip reports "TPU v5 lite") peaks, per the public
+# "How to Scale Your Model" v5e tables: 197 TFLOP/s dense bf16 MXU,
+# 819 GB/s HBM. The roofline columns report achieved fractions of both;
+# f32 work runs below the bf16 MXU number, so MXU% is a lower bound there.
+PEAK_BF16_FLOPS = 197e12
+PEAK_HBM_BPS = 819e9
+
+
+def stage_cost(fn, args, tables):
+    """XLA-reported (flops, bytes accessed) for one stage application.
+
+    Pallas stages carry explicit ``pl.CostEstimate``s (XLA cannot see into
+    custom calls), so the totals include the kernels' analytic counts."""
+    try:
+        c = jax.jit(fn).lower(*args, tables).compile().cost_analysis()
+        return float(c.get("flops", 0.0)), float(c.get("bytes accessed", 0.0))
+    except Exception:
+        return 0.0, 0.0
+
+
 def main():
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     P = int(sys.argv[2]) if len(sys.argv) > 2 else 8
@@ -140,7 +160,15 @@ def main():
         ("FULL adj (skew)", full_adj_skew, (sino,)),
     ]:
         ms = time_chain(fn, args, t, chain=chain) * 1e3
-        print(f"{name:22s}: {ms:8.3f} ms", flush=True)
+        flops, bbytes = stage_cost(fn, args, t)
+        tf = flops / (ms * 1e-3) / 1e12
+        gb = bbytes / (ms * 1e-3) / 1e9
+        print(
+            f"{name:22s}: {ms:8.3f} ms  {flops/1e9:8.2f} GFLOP "
+            f"{bbytes/1e9:7.3f} GB  {tf:7.2f} TF/s ({100*tf*1e12/PEAK_BF16_FLOPS:4.1f}% MXU) "
+            f"{gb:7.1f} GB/s ({100*gb*1e9/PEAK_HBM_BPS:4.1f}% HBM)",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
