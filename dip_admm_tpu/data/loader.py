@@ -316,8 +316,14 @@ def _estimate_opnorms(mode, geo, angles, valid, A, tables, iters: int = 30):
     return lam
 
 
-def build_fft_tables(cfg: ProblemConfig, angles, valid, mode: str = "fft"):
-    """Per-node geometry tables for the fft projector family."""
+def build_fft_tables(cfg: ProblemConfig, angles, valid, mode: str = "fft",
+                     row_block: "int | None" = None):
+    """Per-node geometry tables for the fft projector family.
+
+    ``row_block`` overrides the shear/skew factorization's row-block size
+    nb (default 128) — the pixel-compute mesh axis shards tables along the
+    NB = N/nb axis, so smaller blocks admit more pixel shards (and let
+    tests exercise NB > 1 at small N)."""
     geo = cfg.geometry
     tdt = jnp.dtype(cfg.fft_table_dtype)
     if geo.fan_beam:
@@ -339,6 +345,10 @@ def build_fft_tables(cfg: ProblemConfig, angles, valid, mode: str = "fft"):
     elif mode in ("fft_shear", "fft_skew"):
         from dip_admm_tpu.ops import radon_fft
 
+        if row_block is not None:
+            return radon_fft.precompute_shear(
+                geo, angles, valid, tdt, nb=row_block
+            )
         return radon_fft.precompute_shear(geo, angles, valid, tdt)
     elif mode == "fft_pallas":
         from dip_admm_tpu.ops import radon_fft
@@ -361,14 +371,15 @@ def build_problem(
     phantom_array: Optional[np.ndarray] = None,
     mode: Optional[str] = None,
     per_node_phantoms: bool = False,
+    row_block: Optional[int] = None,
 ) -> Problem:
     """Assemble a :class:`Problem` from configuration.
 
     ``mode`` defaults to "dense" for N <= 128 (batched MXU matmuls on the
     reference's representation) and, above that, the measured-fastest
-    gather-free projector: "fft_shear" for parallel beam (MXU-cast factored
-    shear kernel) or "fft_grouped" for fan beam (grouped rebinned-parallel
-    tables). ``dense=True/False`` is an alias for mode="dense"/"joseph".
+    gather-free projector "fft_skew" (spatial-skew factored shear kernels;
+    fan beam rides the same kernels through the rebinned parallel stage).
+    ``dense=True/False`` is an alias for mode="dense"/"joseph".
 
     ``per_node_phantoms=True`` reproduces the reference build-mode loader's
     behavior of measuring a *different* randomized phantom per node
@@ -390,9 +401,10 @@ def build_problem(
             # the spatial-skew factored shear kernel, 4.55 outer it/s
             # end-to-end at 256^2/8 vs 4.00 (fft_shear) / ~2.1 (fft_grouped)
             # / ~1.7 (fft_pallas); 6.57 vs 7.81 ms/inner at 512^2/8 — and
-            # its tables build in seconds (no H tensor). Fan beam runs
-            # through the grouped rebinned-parallel tables.
-            mode = "fft_grouped" if geo.fan_beam else "fft_skew"
+            # its tables build in seconds (no H tensor). Fan beam rides the
+            # same skew kernels through the rebinned parallel stage since
+            # round 4 (6.57 vs 13.97 ms apply-pair at 512^2/32 vs grouped).
+            mode = "fft_skew"
     dtype = jnp.dtype(cfg.dtype)
 
     angles_np, valid_np, _ = radon.node_angles(geo)
@@ -429,7 +441,8 @@ def build_problem(
     # Geometry tables for the fft projector (precomputed once per problem).
     fft_tables = None
     if mode.startswith("fft"):
-        fft_tables = build_fft_tables(cfg, angles, valid, mode)
+        fft_tables = build_fft_tables(cfg, angles, valid, mode,
+                                      row_block=row_block)
 
     # Clean sinograms via the same operator the solver uses, each node
     # measuring its own phantom.

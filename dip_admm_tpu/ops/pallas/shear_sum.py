@@ -842,16 +842,19 @@ def _skew_fwd_pallas_planes(rows2, Wt, SEre, SEim, Dre, Dim, plane,
     )(plane, rows2, Wt, SEre, SEim, Dre, Dim)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "row_width"))
 def _skew_t_pallas_planes(gre_b, gim_b, Wt, SEre, SEim, DreT, DimT, plane,
-                          pfirst, interpret=False):
+                          pfirst, interpret=False, row_width=None):
     P, NB, Tp, D2, nb = Wt.shape
     PB = gre_b.shape[0]
     F, WZ = DreT.shape
     TB = plane.shape[1]
     tt = Tp // TB
-    N = NB * nb
-    WS = N  # raw row width (x is zero outside [0, N))
+    N = NB * nb  # rows this call produces (local blocks when Wt is sliced)
+    # Raw row width (x is zero outside [0, row_width)). Defaults to the
+    # square case; the row-sharded path passes the FULL image width while
+    # Wt carries only this shard's row blocks.
+    WS = N if row_width is None else row_width
     grid = (PB * NB, TB)  # tb innermost: consecutive same-plane revisits
     g_spec = pl.BlockSpec(
         (1, tt, F), lambda q, tb, pr, fr: (q // NB, tb, 0),
@@ -971,6 +974,18 @@ def skew_sum_planes_t(gre_b, gim_b, Wt, SEre, SEim, DreT, DimT, plane,
     return _skew_t_pallas_planes(
         gre_b, gim_b, Wt, SEre, SEim, DreT, DimT, plane, pfirst,
         interpret=_interp(),
+    )
+
+
+def skew_sum_planes_t_rows(gre_b, gim_b, Wt, SEre, SEim, DreT, DimT, plane,
+                           pfirst, row_width):
+    """Row-sharded variant of :func:`skew_sum_planes_t`: ``Wt``/``SE``
+    carry only this shard's row blocks while ``row_width`` stays the full
+    image width — output [P, 2, NB_loc*nb, row_width]. (No custom_vmap:
+    the sharded runtime never scenario-batches.)"""
+    return _skew_t_pallas_planes(
+        gre_b, gim_b, Wt, SEre, SEim, DreT, DimT, plane, pfirst,
+        interpret=_interp(), row_width=row_width,
     )
 
 

@@ -89,17 +89,39 @@ def _run_sharded_jit(
     repl = PS()
     edge = PS(NODE_AXIS, None, PIXEL_AXIS) if dp > 1 else node
 
+    # Pixel-axis COMPUTE sharding (parallel-beam fft_skew only): the
+    # factored row-stage tables additionally shard along their row-block
+    # axis NB, and each pixel shard applies only its row blocks — the
+    # projector's dominant FLOPs divide by dp (VERDICT r3 #4). Requires NB
+    # divisible by dp (nb=128 blocks: NB = N/128).
+    pixel_compute = (
+        dp > 1 and mode == "fft_skew" and not pcfg.geometry.fan_beam
+        and isinstance(tables_arg, dict) and "Wt" in tables_arg
+        and tables_arg["Wt"].shape[1] % dp == 0
+    )
+
     def shard_body(
         angles, valid, A, tables, b, Q, adjm, W_blk, W_all, L_blk, x_true,
         state, hist, until,
     ):
         from dip_admm_tpu.data.loader import make_node_ops
 
-        fwd, adj = make_node_ops(
-            mode, pcfg.geometry, angles, valid,
-            A if mode == "dense" else None,
-            tables if mode.startswith("fft") else None,
-        )
+        if pixel_compute:
+            from dip_admm_tpu.ops import radon_fft
+
+            geo = pcfg.geometry
+            fwd = lambda x: radon_fft.project_nodes_skew_rowshard(
+                geo, x.reshape(-1, N, N), tables, PIXEL_AXIS
+            ).reshape(x.shape[0], -1)
+            adj = lambda r: radon_fft.backproject_nodes_skew_rowshard(
+                geo, r.reshape(r.shape[0], -1, geo.n_det), tables, PIXEL_AXIS
+            ).reshape(r.shape[0], -1)
+        else:
+            fwd, adj = make_node_ops(
+                mode, pcfg.geometry, angles, valid,
+                A if mode == "dense" else None,
+                tables if mode.startswith("fft") else None,
+            )
 
         fprecond = None
         if cfg.node.algorithm == "fcv":
@@ -183,6 +205,13 @@ def _run_sharded_jit(
     # Single source of truth with multihost.problem_shardings: per-node
     # tables shard, node-shared geometry replicates (key- + shape-based).
     tables_spec = table_partition_specs(tables_arg, P)
+    if pixel_compute:
+        # Row-stage tables additionally shard along their NB row-block axis
+        # (dim 1) — each pixel shard holds only its row blocks, dividing
+        # both the tap-matmul FLOPs and the table HBM by dp.
+        tables_spec = dict(tables_spec)
+        for key in ("Wt", "SEre", "SEim"):
+            tables_spec[key] = PS(NODE_AXIS, PIXEL_AXIS)
     in_specs = (
         node, node, node, tables_spec, node, edge, node, node, repl, node,
         repl, state_specs, hist_specs, repl,

@@ -98,9 +98,10 @@ def build_parser() -> argparse.ArgumentParser:
                             "fft_skew"],
                    default="auto",
                    help="measurement-operator implementation (auto: dense "
-                        "for N<=128; above that fft_skew for parallel beam, "
-                        "fft_grouped for fan beam — the round-3 measured "
-                        "fastest, RESULTS.md A/B)")
+                        "for N<=128; above that fft_skew for both parallel "
+                        "and fan beam — the measured fastest, RESULTS.md "
+                        "A/B; fan rides the skew kernels through the "
+                        "rebinned parallel stage)")
     p.add_argument("--use-pallas", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="fused Pallas edge-consensus kernel (default: auto — "

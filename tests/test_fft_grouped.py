@@ -157,8 +157,9 @@ def test_scenario_batching_matches_per_run():
 def test_auto_mode_defaults_to_fastest_above_128():
     """The loader's auto choice must put default-mode users on the measured
     fastest projector above the dense-mode size cutoff (VERDICT r1: the old
-    auto rule left default users on the slowest fft path). Round-3 A/B
-    winners: fft_skew (parallel), fft_grouped (fan)."""
+    auto rule left default users on the slowest fft path). A/B winners:
+    fft_skew for parallel (round 3) AND fan (round 4: 6.57 vs 13.97 ms
+    apply-pair at 512^2/32 on the grouped path)."""
     import dataclasses
 
     assert loader.build_problem(_cfg()).mode == "dense"
@@ -170,4 +171,4 @@ def test_auto_mode_defaults_to_fastest_above_128():
     fan = dataclasses.replace(
         big, geometry=dataclasses.replace(big.geometry, fan_beam=True)
     )
-    assert loader.build_problem(fan).mode == "fft_grouped"
+    assert loader.build_problem(fan).mode == "fft_skew"

@@ -409,3 +409,73 @@ def test_sharded_fan_skew_parity():
     np.testing.assert_allclose(
         np.asarray(got.x), np.asarray(ref.x), rtol=2e-4, atol=2e-4
     )
+
+
+def test_pixel_compute_rowshard_parity():
+    """Pixel-axis COMPUTE sharding (VERDICT r3 #4): with mode=fft_skew on a
+    node x pixel mesh, the row-stage tables shard along their row-block
+    axis and each pixel shard applies only its rows (psum'd spectra /
+    all_gathered backprojection). Must reproduce the single-device run and
+    must actually take the row-sharded path."""
+    import dip_admm_tpu.ops.radon_fft as radon_fft
+
+    cfg = ProblemConfig(
+        geometry=GeometryConfig(N=16, num_nodes=4, angles_total=16),
+        graph=GraphConfig(strategy="knn", k=1, seed=123),
+        admm=AdmmConfig(
+            lam_tv=0.02, rho=2.0, max_iters=4, eps_pri=1e-8, eps_dual=1e-8,
+            node=NodeSolverConfig(max_inner=40, check_every=20),
+        ),
+        noise_level=0.005, phantom="const",
+    )
+    # row_block=8 -> NB=2 row blocks, shardable over 2 pixel devices.
+    problem = loader.build_problem(cfg, mode="fft_skew", row_block=8)
+    assert problem.fft_tables["Wt"].shape[1] == 2
+    ref = admm.run_admm(problem)
+
+    calls = {"n": 0}
+    orig = radon_fft.project_nodes_skew_rowshard
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    radon_fft.project_nodes_skew_rowshard = counting
+    try:
+        m = meshlib.make_mesh(2, pixel=2)
+        got = admm_sharded.run_admm_sharded(problem, mesh=m)
+    finally:
+        radon_fft.project_nodes_skew_rowshard = orig
+    assert calls["n"] > 0, "row-sharded projector path not engaged"
+    assert int(got.n_iters) == int(ref.n_iters)
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x), rtol=2e-4, atol=2e-4
+    )
+    for name in ("primal", "dual", "obj_total", "g_norm"):
+        np.testing.assert_allclose(
+            np.asarray(got.history[name]), np.asarray(ref.history[name]),
+            rtol=2e-3, atol=1e-5, err_msg=name,
+        )
+
+
+def test_pixel_compute_rowshard_fcv_parity():
+    """Row-sharded projector composes with the fcv inner solver (the
+    Fourier-precond build runs the sharded fwd/adj, collectives included)."""
+    cfg = ProblemConfig(
+        geometry=GeometryConfig(N=16, num_nodes=4, angles_total=16),
+        graph=GraphConfig(strategy="knn", k=1, seed=123),
+        admm=AdmmConfig(
+            lam_tv=0.02, rho=2.0, max_iters=3, eps_pri=1e-8, eps_dual=1e-8,
+            node=NodeSolverConfig(max_inner=40, check_every=20,
+                                  algorithm="fcv"),
+        ),
+        noise_level=0.005, phantom="const",
+    )
+    problem = loader.build_problem(cfg, mode="fft_skew", row_block=8)
+    ref = admm.run_admm(problem)
+    m = meshlib.make_mesh(2, pixel=2)
+    got = admm_sharded.run_admm_sharded(problem, mesh=m)
+    assert int(got.n_iters) == int(ref.n_iters)
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x), rtol=2e-4, atol=2e-4
+    )
