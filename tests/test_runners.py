@@ -128,7 +128,7 @@ def test_cli_recommended_preset():
     args = cli.build_parser().parse_args(["--recommended"])
     cfg = cli.config_from_args(args)
     assert cfg.admm.relax_alpha == 1.8
-    assert cfg.admm.node.algorithm == "pcv"
+    assert cfg.admm.node.algorithm == "fcv"
     # Explicit flags win over the preset.
     args = cli.build_parser().parse_args(
         ["--recommended", "--relax-alpha", "1.5", "--algorithm", "ppdhg"]
@@ -170,20 +170,25 @@ def test_cli_centralized_solvers(tmp_path, capsys):
 
 
 def test_recommended_preset_sets_operating_point():
-    """--recommended = pcv + relax 1.8 + 50-inner budget (RESULTS.md round-2
-    equal-wall-clock study); explicit flags always win over the preset."""
+    """--recommended = fcv + relax 1.8 + 25-inner budget (RESULTS.md round-4
+    operating points); explicit flags always win over the preset."""
     from dip_admm_tpu.runners import cli
 
+    # Round-4 preset: circulant-metric inner solver + relax 1.8 + 25-inner
+    # budget, checked once at the cap (RESULTS.md round-4 operating points).
     cfg = cli.config_from_args(cli.build_parser().parse_args(
         ["--N", "16", "--nodes", "2", "--recommended"]))
-    assert cfg.admm.node.algorithm == "pcv"
+    assert cfg.admm.node.algorithm == "fcv"
     assert cfg.admm.relax_alpha == 1.8
-    assert cfg.admm.node.max_inner == 50
+    assert cfg.admm.node.max_inner == 25
+    assert cfg.admm.node.check_every == 25
+    assert cfg.admm.node.eps_rel == 0.0
 
     cfg = cli.config_from_args(cli.build_parser().parse_args(
         ["--N", "16", "--nodes", "2"]))
     assert cfg.admm.node.max_inner == 200
     assert cfg.admm.node.algorithm == "cv"
+    assert cfg.admm.node.check_every == 10
 
     cfg = cli.config_from_args(cli.build_parser().parse_args(
         ["--N", "16", "--nodes", "2", "--recommended", "--max-inner", "80",
@@ -192,28 +197,15 @@ def test_recommended_preset_sets_operating_point():
     assert cfg.admm.node.algorithm == "ppdhg"
     assert cfg.admm.relax_alpha == 1.5
 
-    # At 512^2+ the preset also turns on the data-scale adaptive
-    # acceptance (RESULTS.md round-3 equal-wall recipe); below it stays
-    # off, and an explicit --eps-rel always wins.
-    cfg = cli.config_from_args(cli.build_parser().parse_args(
-        ["--N", "512", "--nodes", "2", "--recommended"]))
-    assert cfg.admm.node.eps_rel == 0.005
-    # ... with the check cadence the recipe was measured at (ADVICE r3).
-    assert cfg.admm.node.check_every == 25
-    cfg = cli.config_from_args(cli.build_parser().parse_args(
-        ["--N", "16", "--nodes", "2", "--recommended"]))
-    assert cfg.admm.node.eps_rel == 0.0
-    assert cfg.admm.node.check_every == 10
+    # Explicit flags always win over the preset (None = unset, so an
+    # explicit 0 sticks — ADVICE r3).
     cfg = cli.config_from_args(cli.build_parser().parse_args(
         ["--N", "512", "--nodes", "2", "--recommended",
          "--eps-rel", "0.02"]))
     assert cfg.admm.node.eps_rel == 0.02
-    # An explicit --eps-rel 0 disables the preset's adaptive acceptance
-    # (0.0 used to double as the unset sentinel; now None is).
     cfg = cli.config_from_args(cli.build_parser().parse_args(
         ["--N", "512", "--nodes", "2", "--recommended", "--eps-rel", "0"]))
     assert cfg.admm.node.eps_rel == 0.0
-    # An explicit --check-every wins over the preset cadence.
     cfg = cli.config_from_args(cli.build_parser().parse_args(
         ["--N", "512", "--nodes", "2", "--recommended",
          "--check-every", "5"]))
