@@ -346,6 +346,10 @@ def _eval_fwd_kernel(gre_ref, gim_ref, wd_ref, ere_ref, eim_ref,
     ) - jax.lax.dot_general(
         B, phim, dn, preferred_element_type=jnp.float32
     )  # [tt, D2p]
+    # NOTE (r4 negative result): casting this per-angle matvec to the MXU
+    # as a batched dot_general fails to lower — Mosaic's tpu.dot has no
+    # batch dims — and a block-diagonal-R restructure costs tt x the
+    # FLOPs. The VPU broadcast-multiply-reduce stays.
     W32 = Wd.astype(jnp.float32)
     out_ref[0] = jnp.sum(R[:, :, None] * W32, axis=1)  # [tt, db]
 
@@ -842,9 +846,10 @@ def _skew_fwd_pallas_planes(rows2, Wt, SEre, SEim, Dre, Dim, plane,
     )(plane, rows2, Wt, SEre, SEim, Dre, Dim)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "row_width"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "row_width", "dc"))
 def _skew_t_pallas_planes(gre_b, gim_b, Wt, SEre, SEim, DreT, DimT, plane,
-                          pfirst, interpret=False, row_width=None):
+                          pfirst, interpret=False, row_width=None, dc=None):
     P, NB, Tp, D2, nb = Wt.shape
     PB = gre_b.shape[0]
     F, WZ = DreT.shape
@@ -877,7 +882,8 @@ def _skew_t_pallas_planes(gre_b, gim_b, Wt, SEre, SEim, DreT, DimT, plane,
         lambda q, tb, pr, fr: (q // NB, pr[(q // NB) % P, tb], q % NB, 0),
         memory_space=pltpu.VMEM,
     )
-    DC = _skew_dc(D2)
+    DC = _skew_dc(D2) if dc is None else dc
+    assert D2 % DC == 0, (D2, DC)
     sig_dtype = Wt.dtype if Wt.dtype == jnp.bfloat16 else jnp.float32
 
     def kern(plane_ref, first_ref, gre_ref, gim_ref, wt_ref, sere_ref,
