@@ -99,21 +99,51 @@ def build_fourier_precond(
     center = (N // 2) * N + (N // 2)
     e = jnp.zeros((P, n), dtype).at[:, center].set(1.0)
     psf = adj(fwd(e)).reshape(P, N, N)
-    # Move the impulse response to the origin so its FFT is (near-)real.
+    # Move the impulse response to the origin. The probe pixel sits half a
+    # pixel off the periodic center (even N), leaving a residual linear
+    # phase ramp on the FFT — take the MODULUS, not the clamped real part
+    # (clamping zeroed the high-frequency half of the spectrum, which the
+    # rho*D floor masked until the rho=0 centralized path exposed it).
     psf = jnp.roll(psf, (-(N // 2), -(N // 2)), axis=(1, 2))
-    m_hat_A = jnp.maximum(jnp.fft.rfft2(psf).real, 0.0)
+    m_hat_A = jnp.abs(jnp.fft.rfft2(psf))
     d_mean = jnp.mean(D_vec, axis=1)  # [P]
-    m_hat = m_hat_A + rho * d_mean[:, None, None]
-    m_hat = jnp.maximum(
-        m_hat, 1e-6 * jnp.max(m_hat, axis=(1, 2), keepdims=True)
-    ).astype(dtype)
 
     # Dual step on the same local scale as cv's (sigma * ||K||^2 ~ L/2 with
     # L the consensus-quadratic curvature): keeps sigma K^T K from
     # dominating the metric bound while the lam_tv-ball projection
-    # saturates the TV dual within a few steps regardless.
+    # saturates the TV dual within a few steps regardless. With no
+    # consensus quadratic (rho*D = 0 — the centralized TV solve) fall back
+    # to the operator's own mean spectral scale so sigma stays positive.
     Ksq = tv.GRAD_OPNORM_SQ
-    sigma = (cfg.sigma_scale * rho * d_mean / (2.0 * Ksq)).astype(dtype)
+    scale = rho * d_mean
+    # rho=0 fallback measured on the centralized TV path: the TV dual is
+    # the convergence bottleneck there, and PSNR-at-budget rises
+    # monotonically with sigma through ~4*max(m_hat) (RESULTS r4 sweep);
+    # sigma also enters the metric below, so larger values stay certified.
+    scale = jnp.where(
+        scale > 0, scale, 4.0 * jnp.max(m_hat_A, axis=(1, 2))
+    )
+    sigma = (cfg.sigma_scale * scale / (2.0 * Ksq)).astype(dtype)
+
+    # The metric must also carry sigma * K^T K's circulant symbol (the
+    # periodic Laplacian): K's spectrum PEAKS exactly where CT's decays
+    # (|w|^2 vs ~1/|w|), so without this term the certified step collapses
+    # to ~l_hat_max * m_hat_min^-1 at the Nyquist corner (measured: step
+    # 0.016 instead of ~1 on the centralized path).
+    kx = jnp.arange(N)[:, None]
+    ky = jnp.arange(N // 2 + 1)[None, :]
+    l_hat = (
+        4.0 * jnp.sin(jnp.pi * kx / N) ** 2
+        + 4.0 * jnp.sin(jnp.pi * ky / N) ** 2
+    )  # [N, N//2+1]
+    m_hat = (
+        m_hat_A
+        + rho * d_mean[:, None, None]
+        + sigma[:, None, None] * l_hat[None]
+    )
+    m_hat = jnp.maximum(
+        m_hat, 1e-6 * jnp.max(m_hat, axis=(1, 2), keepdims=True)
+    ).astype(dtype)
 
     def H(x):  # [P, n] smooth-part Hessian apply
         return adj(fwd(x)) + rho * (D_vec * x)

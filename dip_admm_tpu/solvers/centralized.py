@@ -86,10 +86,15 @@ def _tv_recon_jit(problem: Problem, lam_tv: float, cfg, eps: float):
     n, N = problem.n, problem.N
     L = jnp.sum(problem.opnorm)[None]  # ||sum A_i^T A_i|| <= sum ||A_i^T A_i||
     zeros = jnp.zeros((1, n), problem.b.dtype)
+    fprecond = None
+    if cfg.algorithm == "fcv":
+        fprecond = node_solver.build_fourier_precond(
+            fwd, adj, zeros, 0.0, cfg, N
+        )
     res = node_solver.solve_nodes(
         fwd, adj, b, zeros, zeros, jnp.zeros((1,)),
         lam_tv, 0.0, L,
         node_solver.init_state(1, N, b.shape[1], problem.b.dtype),
-        jnp.asarray(eps), cfg, N,
+        jnp.asarray(eps), cfg, N, fprecond=fprecond,
     )
     return res.state.x[0], res.g_norm[0]

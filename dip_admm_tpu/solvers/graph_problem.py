@@ -204,6 +204,14 @@ def _solve_jit(
     damp = rho / (2.0 * Q + rho) * adjm[:, :, None]
     am = adjm[:, :, None]
 
+    fprecond = None
+    if inner_cfg.algorithm == "fcv":
+        # Circulant metric over the stacked operator [A; sqrt(diag)] —
+        # built once (D_vec is constant across outer iterations).
+        fprecond = node_solver.build_fourier_precond(
+            fwd, adj, D_vec, rho, inner_cfg, N
+        )
+
     def body(carry):
         st, Z, Y, k, _, h = carry
         V = (Z - Y) * am
@@ -212,7 +220,7 @@ def _solve_jit(
         eps_k = jnp.asarray(1e-3, dtype) / (k.astype(dtype) + 1.0)
         res = node_solver.solve_nodes(
             fwd, adj, b_full, D_vec, b_cons, c_quad,
-            lam, rho, L, st, eps_k, inner_cfg, N,
+            lam, rho, L, st, eps_k, inner_cfg, N, fprecond=fprecond,
         )
         X = res.state.x
         A_prop = X[:, None, :] + Y

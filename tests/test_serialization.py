@@ -324,3 +324,27 @@ def test_fan_skew_problem_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(problem.forward(x)), np.asarray(loaded.forward(x))
     )
+
+
+def test_batched_scenarios_fcv():
+    # The circulant-precond build (impulse probe + power method) must
+    # compose with the whole-run vmap of scenario batching.
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    cfg = _cfg(max_iters=4)
+    cfg = dc.replace(
+        cfg, admm=dc.replace(
+            cfg.admm, node=dc.replace(cfg.admm.node, algorithm="fcv")
+        )
+    )
+    problem = loader.build_problem(cfg)
+    B = 2
+    b_batch = jnp.stack([problem.b * (1.0 + 0.01 * i) for i in range(B)])
+    res = admm.run_admm_batched(problem, b_batch)
+    assert res.x.shape == (B, 3, 144)
+    single = admm.run_admm(problem)
+    np.testing.assert_allclose(
+        np.asarray(res.x[0]), np.asarray(single.x), rtol=1e-4, atol=1e-4
+    )

@@ -194,3 +194,68 @@ def test_graph_problem_matrix_free_operators():
     np.testing.assert_allclose(
         np.asarray(x_mf), np.asarray(x_dn), rtol=1e-4, atol=1e-4
     )
+
+
+def test_centralized_tv_fcv_matches_cv(problem):
+    """The circulant-metric solver reaches the same centralized TV optimum
+    (rho=0 path: the sigma fallback to the operator's spectral scale)."""
+    from dip_admm_tpu.config import NodeSolverConfig
+
+    # Equal FIXED budget with the acceptance effectively off: the loose
+    # normalized-subgradient criterion can fire prematurely in TV-flat
+    # regions (measured: fcv exited at obj 300 under eps=0.2 while both
+    # algorithms descend to ~234-238 given 16k iterations), so the honest
+    # cross-check is objective agreement at matched work. On the rho=0
+    # path cv's huge dual step converges the TV dual faster — cv stays
+    # the centralized default; fcv must land within a few % here.
+    kw = dict(max_inner=6000, check_every=100, plateau_tol=0.0)
+    x_cv, _ = centralized.tv_reconstruction(
+        problem, lam_tv=0.02, eps=1e-3,
+        cfg=NodeSolverConfig(**kw, algorithm="cv"),
+    )
+    x_f, _ = centralized.tv_reconstruction(
+        problem, lam_tv=0.02, eps=1e-3,
+        cfg=NodeSolverConfig(**kw, algorithm="fcv"),
+    )
+    x_true = np.asarray(problem.x_true)
+    val = psnr(np.asarray(x_f), x_true, data_range=x_true.max())
+    assert val > 19.0, f"fcv centralized PSNR too low: {val}"
+    # Same OBJECTIVE value (the ||g||<=eps near-optimal set is wide in
+    # TV-flat directions, so pointwise x comparison and PSNR both wobble;
+    # the objective pins the optimum).
+    from dip_admm_tpu.ops import tv as tv_ops
+
+    fwd, _, b = centralized._aggregate_ops(problem)
+    N = problem.N
+
+    def objective(x):
+        r = np.asarray(fwd(jnp.asarray(x)[None])) - np.asarray(b)
+        return 0.5 * float((r * r).sum()) + 0.02 * float(
+            tv_ops.tv_value(jnp.asarray(x).reshape(N, N))
+        )
+
+    o_cv, o_f = objective(x_cv), objective(x_f)
+    assert abs(o_f - o_cv) <= 5e-2 * max(abs(o_cv), 1.0), (o_f, o_cv)
+
+
+def test_graph_problem_tv_fcv():
+    from dip_admm_tpu.config import NodeSolverConfig
+
+    rng = np.random.default_rng(2)
+    n_side, n = 8, 64
+    gp = graph_problem.GraphProblem(n_side)
+    base = np.zeros((n_side, n_side), np.float32)
+    base[2:6, 2:6] = 5.0
+    target = base.reshape(-1)
+    for _ in range(2):
+        A = np.eye(n, dtype=np.float32)
+        b = target + rng.normal(scale=0.3, size=n).astype(np.float32)
+        gp.add_node(A=A, b=b, lam_tv=0.1)
+    gp.add_edge(0, 1, 10.0)
+    x, hist = gp.solve(
+        rho=1.0, max_iters=80,
+        inner=NodeSolverConfig(max_inner=200, check_every=25,
+                               algorithm="fcv"),
+    )
+    x = np.asarray(x)
+    assert np.abs(x.mean(axis=0) - target).mean() < 0.25
