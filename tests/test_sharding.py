@@ -479,3 +479,20 @@ def test_pixel_compute_rowshard_fcv_parity():
     np.testing.assert_allclose(
         np.asarray(got.x), np.asarray(ref.x), rtol=2e-4, atol=2e-4
     )
+
+
+def test_run_admm_auto_mesh_matches():
+    """run_admm_auto over a mesh (the default CLI path with --mesh) is
+    bit-identical to the unsegmented sharded run."""
+    problem = make_problem(P=4)
+    m = meshlib.make_mesh(4)
+    ref = admm_sharded.run_admm_sharded(problem, mesh=m)
+    got = admm.run_admm_auto(
+        problem, mesh=m, target_wall_s=1e-9, probe_iters=2
+    )
+    assert int(got.n_iters) == int(ref.n_iters)
+    np.testing.assert_array_equal(np.asarray(got.x), np.asarray(ref.x))
+    for name, v in ref.history.items():
+        np.testing.assert_array_equal(
+            np.asarray(got.history[name]), np.asarray(v), err_msg=name
+        )
