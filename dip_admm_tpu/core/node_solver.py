@@ -50,7 +50,7 @@ class NodeState(NamedTuple):
     uy: jnp.ndarray  # [P, N, N] TV dual, y-component
     ua: jnp.ndarray  # [P, m] data-fit dual (ppdhg algorithm; zeros for cv)
     xp: jnp.ndarray  # [P, n] previous iterate (fista momentum; zeros for cv)
-    tk: jnp.ndarray  # [P] fista t-sequence (ones when unused)
+    tk: jnp.ndarray  # [P] fista t-sequence / fcv step (inf when fresh)
 
 
 class FourierPrecond(NamedTuple):
@@ -210,7 +210,11 @@ def init_state(P: int, N: int, m: int, dtype=jnp.float32) -> NodeState:
         uy=jnp.zeros((P, N, N), dtype),
         ua=jnp.zeros((P, m), dtype),
         xp=jnp.zeros((P, N * N), dtype),
-        tk=jnp.ones((P,), dtype),
+        # inf = "fresh" sentinel: fcv takes min(tk, certified step), so a
+        # fresh state maps to the FULL certified step (which can exceed 1 —
+        # lam_max ~ 0.5-0.7 gives step ~ 1-1.4; a ones sentinel used to clip
+        # it, ADVICE r4). fista overwrites tk with ones at solve start.
+        tk=jnp.full((P,), jnp.inf, dtype),
     )
 
 
@@ -285,7 +289,8 @@ def solve_nodes(
         # slot so the divergence monitor below can adapt it and warm starts
         # carry the adapted value across outer iterations; ``xp`` holds the
         # last-check snapshot of x for rollback. min() maps a fresh state
-        # (tk = ones) to the certified step and keeps an adapted one.
+        # (tk = inf sentinel) to the full certified step — which may exceed
+        # 1 — and keeps a warm-started adapted value.
         state = state._replace(
             tk=jnp.minimum(state.tk, fprecond.step), xp=state.x
         )

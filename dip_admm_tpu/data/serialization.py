@@ -253,7 +253,9 @@ def load_checkpoint_orbax(path: str) -> tuple[AdmmState, dict]:
     s = payload["state"]
     nd = {k: jnp.asarray(v) for k, v in s["node"].items()}
     nd.setdefault("xp", jnp.zeros_like(nd["x"]))  # pre-fista checkpoints
-    nd.setdefault("tk", jnp.ones((nd["x"].shape[0],), nd["x"].dtype))
+    nd.setdefault(
+        "tk", jnp.full((nd["x"].shape[0],), jnp.inf, nd["x"].dtype)
+    )  # fresh-step sentinel (see node_solver.init_state)
     node = NodeState(**nd)
     state = AdmmState(
         node=node,
@@ -295,7 +297,9 @@ def load_checkpoint(path: str) -> tuple[AdmmState, dict]:
             xp=jnp.asarray(z["xp"]) if "xp" in z.files
             else jnp.zeros_like(jnp.asarray(z["x"])),
             tk=jnp.asarray(z["tk"]) if "tk" in z.files
-            else jnp.ones((z["x"].shape[0],), jnp.asarray(z["x"]).dtype),
+            else jnp.full(
+                (z["x"].shape[0],), jnp.inf, jnp.asarray(z["x"]).dtype
+            ),  # fresh-step sentinel (see node_solver.init_state)
         ),
         Z=jnp.asarray(z["Z"]),
         Y=jnp.asarray(z["Y"]),

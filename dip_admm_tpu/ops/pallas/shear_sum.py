@@ -423,10 +423,14 @@ def _eval_fwd_pallas(gre, gim, Wd, TEre, TEim, PhiDre, PhiDim,
         interpret=interpret,
     )(gre, gim, TEre, TEim, PhiDre.astype(Wd.dtype), PhiDim.astype(Wd.dtype))
     # Scenario batching folds B into the node axis (PB = B * P): lift the
-    # fold out so the per-node Wd broadcasts over it.
-    Rb = R.reshape(PB // P, P, DB, Tp, D2p).astype(Wd.dtype)
+    # fold out so the per-node Wd broadcasts over it. R stays f32 and Wd is
+    # upcast — matching the in-kernel variant's f32 x f32 epilogue exactly
+    # (rounding R down to a bf16 table dtype here would move the bf16
+    # rounding point relative to the unsplit kernel, ADVICE r4).
+    Rb = R.reshape(PB // P, P, DB, Tp, D2p)
     out = jnp.einsum(
-        "kpbtz,pbtzd->kpbtd", Rb, Wd, preferred_element_type=jnp.float32
+        "kpbtz,pbtzd->kpbtd", Rb, Wd.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
     )
     return out.transpose(0, 1, 3, 2, 4).reshape(PB, Tp, DB * db)
 

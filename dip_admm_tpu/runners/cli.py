@@ -35,7 +35,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eps-dual", type=float, default=1e-3)
     p.add_argument("--max-inner", type=int, default=None,
                    help="inner iteration budget per node solve (default 200 "
-                        "= the reference's SCS cap; 50 under --recommended)")
+                        "= the reference's SCS cap; 25 under --recommended)")
     p.add_argument("--algorithm",
                    choices=["cv", "fcv", "pcv", "ppdhg", "fista"],
                    default="cv",
@@ -52,8 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "(ref block_6 ver2:100-103)")
     p.add_argument("--check-every", type=int, default=None,
                    help="inner iterations between stationarity checks "
-                        "(default 10; 25 when the --recommended preset "
-                        "engages eps_rel, matching the measured recipe)")
+                        "(default 10; 25 under --recommended — one check at "
+                        "the 25-inner cap, matching the measured recipe)")
     p.add_argument("--plateau-tol", type=float, default=0.01,
                    help="early-exit when the stationarity residual stops "
                         "improving by this relative amount between checks "
@@ -63,9 +63,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "acceptance target to eps_rel*||A_i^T b_i||/"
                         "(k+1)^(1+gamma) per node (fires at every problem "
                         "size, unlike the reference's absolute eps0; "
-                        "0 = reference-parity absolute-only, the default — "
-                        "an explicit 0 also disables the --recommended "
-                        "preset's adaptive acceptance)")
+                        "0 = reference-parity absolute-only, the default)")
     p.add_argument("--z-fusion", choices=["midpoint", "weighted"],
                    default="midpoint")
     p.add_argument("--relax-alpha", type=float, default=1.0,

@@ -79,6 +79,7 @@ def _load():
         lib.cp_abort.argtypes = [ctypes.c_longlong]
         lib.cp_flush.argtypes = []
         lib.cp_set_zip64_threshold.argtypes = [ctypes.c_ulonglong]
+        lib.cp_set_crc_chunk.argtypes = [ctypes.c_ulonglong]
         lib.cp_init(1)
         _lib = lib
         return lib
@@ -136,6 +137,14 @@ def set_zip64_threshold(threshold: int) -> None:
     (spec value 4 GiB; lowering it exercises the zip64 paths with small
     payloads). Pass 0 to restore the spec threshold."""
     _load().cp_set_zip64_threshold(ctypes.c_ulonglong(threshold))
+
+
+def set_crc_chunk(chunk: int) -> None:
+    """Test hook: crc32 is fed to zlib in ``chunk``-byte pieces (zlib's
+    length argument is 32-bit, so >=4 GiB members MUST be chunked or the
+    stored CRC covers only ``size mod 2**32`` bytes). Lowering the chunk
+    exercises that loop with small members; 0 restores the 1 GiB default."""
+    _load().cp_set_crc_chunk(ctypes.c_ulonglong(chunk))
 
 
 def flush() -> None:

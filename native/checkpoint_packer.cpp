@@ -200,12 +200,45 @@ void put_le64(std::vector<uint8_t>& v, uint64_t x) {
 // zip64 paths are exercised without multi-GiB payloads.
 std::atomic<uint64_t> g_zip64_threshold{0xFFFFFFFFull};
 
+// zlib's crc32 takes a uInt (32-bit) length, so a single call silently
+// truncates members >= 4 GiB to size mod 2^32 — exactly the members the
+// zip64 path exists for. Feed it in bounded chunks instead. The chunk size
+// is a test hook (cp_set_crc_chunk) so the loop is exercised by the test
+// suite with small members; np.load verifies the CRC on read, which makes
+// the round-trip test a check of this field.
+std::atomic<uint64_t> g_crc_chunk{1ull << 30};
+
+uint32_t crc32_full(const std::vector<uint8_t>& bytes) {
+  const uint64_t chunk = g_crc_chunk.load();
+  uLong crc = crc32(0L, Z_NULL, 0);
+  size_t off = 0;
+  while (off < bytes.size()) {
+    size_t n = bytes.size() - off;
+    if (n > chunk) n = (size_t)chunk;
+    crc = crc32(crc, bytes.data() + off, (uInt)n);
+    off += n;
+  }
+  return (uint32_t)crc;
+}
+
+bool wr(FILE* f, const void* p, size_t n) {
+  return std::fwrite(p, 1, n, f) == n;
+}
+
+bool wr(FILE* f, const std::vector<uint8_t>& v) {
+  return v.empty() || wr(f, v.data(), v.size());
+}
+
 // Minimal stored-method zip with zip64 records (np.load / python zipfile
 // compatible), so >4 GiB checkpoint states (512^2/64-node Z/Y) stay on the
 // async path instead of falling back to the blocking numpy writer.
+//
+// Streams each member to the file as it goes (headers buffered, payload
+// bytes written straight from the Member copy) — the archive is never
+// assembled in memory, so a multi-GiB checkpoint costs one copy (the
+// submit-time Member), not two.
 void write_zip(const std::string& path, const std::vector<Member>& members) {
   const uint64_t lim = g_zip64_threshold.load();
-  std::vector<uint8_t> out;
   struct DirEnt {
     std::string name;
     uint32_t crc;
@@ -213,39 +246,51 @@ void write_zip(const std::string& path, const std::vector<Member>& members) {
   };
   std::vector<DirEnt> dir;
   bool any64 = false;
+
+  std::string tmp = path + ".tmp";
+  FILE* f = std::fopen(tmp.c_str(), "wb");
+  if (!f) {
+    ++g_write_errors;
+    return;
+  }
+  bool ok = true;
+  uint64_t offset = 0;
   for (const auto& m : members) {
-    uint64_t offset = out.size();
-    uint32_t crc = crc32(0, m.bytes.data(), (uInt)m.bytes.size());
+    uint32_t crc = crc32_full(m.bytes);
     uint64_t sz = m.bytes.size();
     bool f64 = sz >= lim;                // sizes overflow the 32-bit fields
     any64 = any64 || f64;
-    put_le32(out, 0x04034b50);           // local file header
-    put_le16(out, f64 ? 45 : 20);        // version needed
-    put_le16(out, 0);                    // flags
-    put_le16(out, 0);                    // method: stored
-    put_le16(out, 0);                    // mod time
-    put_le16(out, 0);                    // mod date
-    put_le32(out, crc);
+    std::vector<uint8_t> hdr;
+    put_le32(hdr, 0x04034b50);           // local file header
+    put_le16(hdr, f64 ? 45 : 20);        // version needed
+    put_le16(hdr, 0);                    // flags
+    put_le16(hdr, 0);                    // method: stored
+    put_le16(hdr, 0);                    // mod time
+    put_le16(hdr, 0);                    // mod date
+    put_le32(hdr, crc);
     if (f64) {                           // sizes live in the zip64 extra
-      put_le32(out, 0xFFFFFFFFu);        // compressed size
-      put_le32(out, 0xFFFFFFFFu);        // uncompressed size
+      put_le32(hdr, 0xFFFFFFFFu);        // compressed size
+      put_le32(hdr, 0xFFFFFFFFu);        // uncompressed size
     } else {
-      put_le32(out, (uint32_t)sz);
-      put_le32(out, (uint32_t)sz);
+      put_le32(hdr, (uint32_t)sz);
+      put_le32(hdr, (uint32_t)sz);
     }
-    put_le16(out, (uint16_t)m.name.size());
-    put_le16(out, f64 ? 20 : 0);         // extra len
-    out.insert(out.end(), m.name.begin(), m.name.end());
+    put_le16(hdr, (uint16_t)m.name.size());
+    put_le16(hdr, f64 ? 20 : 0);         // extra len
+    hdr.insert(hdr.end(), m.name.begin(), m.name.end());
     if (f64) {
-      put_le16(out, 0x0001);             // zip64 extra field tag
-      put_le16(out, 16);                 // original + compressed, 8 B each
-      put_le64(out, sz);                 // original (uncompressed) size
-      put_le64(out, sz);                 // compressed size
+      put_le16(hdr, 0x0001);             // zip64 extra field tag
+      put_le16(hdr, 16);                 // original + compressed, 8 B each
+      put_le64(hdr, sz);                 // original (uncompressed) size
+      put_le64(hdr, sz);                 // compressed size
     }
-    out.insert(out.end(), m.bytes.begin(), m.bytes.end());
+    ok = wr(f, hdr) && wr(f, m.bytes);
+    if (!ok) break;
     dir.push_back({m.name, crc, sz, offset});
+    offset += hdr.size() + sz;
   }
-  uint64_t dir_start = out.size();
+  uint64_t dir_start = offset;
+  std::vector<uint8_t> out;  // central directory + end records (small)
   for (const auto& d : dir) {
     bool sz64 = d.size >= lim;
     bool off64 = d.offset >= lim;
@@ -282,11 +327,11 @@ void write_zip(const std::string& path, const std::vector<Member>& members) {
       if (off64) put_le64(out, d.offset);
     }
   }
-  uint64_t dir_size = out.size() - dir_start;
+  uint64_t dir_size = out.size();
   bool eocd64 = any64 || dir.size() >= 0xFFFF || dir_size >= lim ||
                 dir_start >= lim;
   if (eocd64) {
-    uint64_t eocd64_start = out.size();
+    uint64_t eocd64_start = dir_start + out.size();
     put_le32(out, 0x06064b50);           // zip64 end of central directory
     put_le64(out, 44);                   // record size (fixed fields)
     put_le16(out, 45);                   // version made by
@@ -314,13 +359,7 @@ void write_zip(const std::string& path, const std::vector<Member>& members) {
 
   // Atomic + checked: any failure (open, short write, fsync, close, rename)
   // unlinks the tmp file and keeps the previous checkpoint intact.
-  std::string tmp = path + ".tmp";
-  FILE* f = std::fopen(tmp.c_str(), "wb");
-  if (!f) {
-    ++g_write_errors;
-    return;
-  }
-  bool ok = std::fwrite(out.data(), 1, out.size(), f) == out.size();
+  ok = ok && wr(f, out);
   if (ok) ok = std::fflush(f) == 0 && fsync(fileno(f)) == 0;
   ok = (std::fclose(f) == 0) && ok;
   if (ok) ok = std::rename(tmp.c_str(), path.c_str()) == 0;
@@ -352,14 +391,19 @@ int cp_add(long long handle, const char* name, int dtype,
   if (ndim < 0 || ndim > 8) return 1;
   DtypeInfo dt;
   if (!dtype_info(dtype, &dt)) return 1;
-  std::vector<uint8_t> npy =
-      encode_npy(data, dt, shape, ndim);
-  auto& ps = packs();
-  std::lock_guard<std::mutex> lk(ps.mu);
-  auto it = ps.open.find(handle);
-  if (it == ps.open.end()) return 2;
-  it->second.push_back({std::string(name) + ".npy", std::move(npy)});
-  return 0;
+  // try/catch: a bad_alloc on a multi-GiB copy must come back as an error
+  // code, not a C++ exception unwinding through the ctypes FFI boundary.
+  try {
+    std::vector<uint8_t> npy = encode_npy(data, dt, shape, ndim);
+    auto& ps = packs();
+    std::lock_guard<std::mutex> lk(ps.mu);
+    auto it = ps.open.find(handle);
+    if (it == ps.open.end()) return 2;
+    it->second.push_back({std::string(name) + ".npy", std::move(npy)});
+    return 0;
+  } catch (...) {
+    return 3;
+  }
 }
 
 int cp_commit(long long handle, const char* path) {
@@ -375,7 +419,16 @@ int cp_commit(long long handle, const char* path) {
   // No size guard: write_zip emits zip64 records past the 4 GiB / 65535-
   // member zip32 limits, so arbitrarily large states stay on the async path.
   std::string p(path);
-  pool().submit([p, members = std::move(members)] { write_zip(p, members); });
+  pool().submit([p, members = std::move(members)] {
+    // A throw (e.g. bad_alloc building the header tail) in a detached pool
+    // thread would terminate the process; count it as a failed write so
+    // cp_flush() surfaces it instead.
+    try {
+      write_zip(p, members);
+    } catch (...) {
+      ++g_write_errors;
+    }
+  });
   return 0;
 }
 
@@ -397,6 +450,12 @@ int cp_flush() {
 // exercised without multi-GiB payloads. 0 restores the spec threshold.
 void cp_set_zip64_threshold(unsigned long long t) {
   g_zip64_threshold.store(t ? t : 0xFFFFFFFFull);
+}
+
+// Test hook: shrink the per-call crc32 chunk so the chunked-CRC loop (the
+// >4 GiB correctness path) runs over small members too. 0 restores 1 GiB.
+void cp_set_crc_chunk(unsigned long long n) {
+  g_crc_chunk.store(n ? n : (1ull << 30));
 }
 
 }  // extern "C"

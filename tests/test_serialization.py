@@ -174,6 +174,48 @@ def test_checkpoint_native_zip64_roundtrip(tmp_path):
     )
 
 
+def test_checkpoint_native_chunked_crc(tmp_path):
+    # zlib's crc32 length argument is 32-bit: a single call over a >=4 GiB
+    # member computes the CRC of size mod 2^32 bytes, so np.load would
+    # reject exactly the checkpoints the zip64 path enables (ADVICE r4
+    # high). The packer therefore chunks the CRC; shrinking the chunk far
+    # below the member sizes runs that loop many times per member, and the
+    # stored CRC field must still equal the whole-buffer zlib.crc32.
+    import pytest
+    import zipfile
+    import zlib
+
+    from dip_admm_tpu.utils import native_checkpoint as nc
+
+    if not nc.available():
+        pytest.skip("native toolchain unavailable")
+    problem = loader.build_problem(_cfg(max_iters=8))
+    part = admm.run_admm(problem, until=4)
+    path = str(tmp_path / "ckpt_crcchunk.npz")
+    nc.set_crc_chunk(64)  # dozens-to-thousands of chunks per member
+    nc.set_zip64_threshold(256)  # combined with the zip64 record paths
+    try:
+        serialization.save_checkpoint_async(path, part.state, part.history)
+        serialization.flush_checkpoints()
+    finally:
+        nc.set_crc_chunk(0)
+        nc.set_zip64_threshold(0)
+
+    # Validate the CRC *field* itself against an independent whole-buffer
+    # computation, then let np.load (which verifies CRCs on read) decode.
+    with zipfile.ZipFile(path) as zf:
+        for info in zf.infolist():
+            data = zf.read(info.filename)  # raises BadZipFile on CRC error
+            assert zlib.crc32(data) & 0xFFFFFFFF == info.CRC, info.filename
+
+    state, hist = serialization.load_checkpoint(path)
+    resumed = admm.run_admm(problem, problem.cfg.admm, state=state, hist=hist)
+    full = admm.run_admm(problem)
+    np.testing.assert_allclose(
+        np.asarray(resumed.x), np.asarray(full.x), rtol=1e-6, atol=1e-6
+    )
+
+
 def test_checkpoint_orbax_roundtrip(tmp_path):
     problem = loader.build_problem(_cfg(max_iters=6))
     part = admm.run_admm(problem, until=3)
