@@ -813,6 +813,12 @@ def precompute_shear(
     # node count).
     return {
         "Wt": Wt,
+        # d-major alias for the SPATIAL skew kernels: with taps d-outermost
+        # every per-tap window access in the kernels is a full [tt, WS]
+        # tile (t-major sliced the sublane axis of a (DC, WS)-tiled temp —
+        # 1-of-8 masked VPU accesses that serialized the skew-T kernel,
+        # VERDICT r4 #1). The spectra-path kernels keep the t-major Wt.
+        "WtT": jnp.copy(Wt.transpose(0, 1, 3, 2, 4)),
         "SEre": SEre, "SEim": SEim,
         "Wd": Wd,
         "TEre": TEre, "TEim": TEim,
@@ -901,7 +907,7 @@ def project_nodes_skew(cfg: GeometryConfig, imgs, tables, n_rows=None):
     imgs = imgs.astype(jnp.float32)
     rows2 = jnp.stack([imgs, imgs.transpose(0, 2, 1)], axis=1)  # [P,2,N,N]
     g_re, g_im = skew_sum_planes(
-        rows2, t["Wt"], t["SEre"], t["SEim"], sh["Dre"], sh["Dim"],
+        rows2, t["WtT"], t["SEre"], t["SEim"], sh["Dre"], sh["Dim"],
         t["plane"],
     )
     out_slot = eval_shear(
@@ -923,7 +929,7 @@ def backproject_nodes_skew(cfg: GeometryConfig, sinos, tables):
         ob, t["Wd"], t["TEre"], t["TEim"], sh["PhiDre"], sh["PhiDim"]
     )
     rows2_bar = skew_sum_planes_t(
-        g_re_bar, g_im_bar, t["Wt"], t["SEre"], t["SEim"],
+        g_re_bar, g_im_bar, t["WtT"], t["SEre"], t["SEim"],
         sh["DreT"], sh["DimT"], t["plane"], t["pfirst"],
     )
     # Planes no angle block wrote are uninitialized kernel outputs.
@@ -952,13 +958,13 @@ def project_nodes_skew_rowshard(cfg: GeometryConfig, imgs, tables,
     sh = t["shared"]
     T = max(cfg.angles_per_node())
     dtype = imgs.dtype
-    NB_loc, nb = t["Wt"].shape[1], t["Wt"].shape[-1]
+    NB_loc, nb = t["WtT"].shape[1], t["WtT"].shape[-1]
     imgs = imgs.astype(jnp.float32)
     rows2 = jnp.stack([imgs, imgs.transpose(0, 2, 1)], axis=1)  # [P,2,N,N]
     r0 = jax.lax.axis_index(axis_name) * (NB_loc * nb)
     rows2_loc = jax.lax.dynamic_slice_in_dim(rows2, r0, NB_loc * nb, axis=2)
     g_re, g_im = skew_sum_planes(
-        rows2_loc, t["Wt"], t["SEre"], t["SEim"], sh["Dre"], sh["Dim"],
+        rows2_loc, t["WtT"], t["SEre"], t["SEim"], sh["Dre"], sh["Dim"],
         t["plane"],
     )
     g_re = jax.lax.psum(g_re, axis_name)
@@ -987,7 +993,7 @@ def backproject_nodes_skew_rowshard(cfg: GeometryConfig, sinos, tables,
         ob, t["Wd"], t["TEre"], t["TEim"], sh["PhiDre"], sh["PhiDim"]
     )
     rows2_bar_loc = skew_sum_planes_t_rows(
-        g_re_bar, g_im_bar, t["Wt"], t["SEre"], t["SEim"],
+        g_re_bar, g_im_bar, t["WtT"], t["SEre"], t["SEim"],
         sh["DreT"], sh["DimT"], t["plane"], t["pfirst"], row_width=N,
     )  # [P, 2, NB_loc*nb, N]
     vis = t["pvisited"][:, :, None, None]

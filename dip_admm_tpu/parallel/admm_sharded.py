@@ -96,8 +96,8 @@ def _run_sharded_jit(
     # divisible by dp (nb=128 blocks: NB = N/128).
     pixel_compute = (
         dp > 1 and mode == "fft_skew" and not pcfg.geometry.fan_beam
-        and isinstance(tables_arg, dict) and "Wt" in tables_arg
-        and tables_arg["Wt"].shape[1] % dp == 0
+        and isinstance(tables_arg, dict) and "WtT" in tables_arg
+        and tables_arg["WtT"].shape[1] % dp == 0
     )
 
     def shard_body(
@@ -210,7 +210,7 @@ def _run_sharded_jit(
         # (dim 1) — each pixel shard holds only its row blocks, dividing
         # both the tap-matmul FLOPs and the table HBM by dp.
         tables_spec = dict(tables_spec)
-        for key in ("Wt", "SEre", "SEim"):
+        for key in ("Wt", "WtT", "SEre", "SEim"):
             tables_spec[key] = PS(NODE_AXIS, PIXEL_AXIS)
     in_specs = (
         node, node, node, tables_spec, node, edge, node, node, repl, node,

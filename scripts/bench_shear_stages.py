@@ -122,13 +122,13 @@ def main():
 
     def skew_row_stage(rows2, t):
         return skew_sum_planes(
-            rows2, t["Wt"], t["SEre"], t["SEim"],
+            rows2, t["WtT"], t["SEre"], t["SEim"],
             t["shared"]["Dre"], t["shared"]["Dim"], t["plane"],
         )
 
     def skew_row_stage_t(a, b, t):
         return (skew_sum_planes_t(
-            a, b, t["Wt"], t["SEre"], t["SEim"],
+            a, b, t["WtT"], t["SEre"], t["SEim"],
             t["shared"]["DreT"], t["shared"]["DimT"],
             t["plane"], t["pfirst"],
         ),)
