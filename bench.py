@@ -100,16 +100,17 @@ def measure_tpu_throughput(N=256, P=8, timed_iters=20, dtype="float32",
     inner = np.asarray(res.history["inner_iters"])[:iters]
 
     # Secondary datapoint: the RECOMMENDED operating point (circulant-metric
-    # fcv inner solver, over-relaxation 1.8, 25-inner budget — the Fourier
-    # preconditioner converges the node subproblems in ~25 iterations;
-    # measured BETTER reconstruction than the 200-inner parity contract at
-    # a fraction of its wall clock: 34.19 vs 30.42 dB at 20 outers,
-    # RESULTS.md round-4 operating points). Same problem/tables.
+    # fcv inner solver, over-relaxation 1.8, 15-inner budget — with the
+    # round-5 Lanczos-certified step the Fourier preconditioner converges
+    # the node subproblems in ~15 iterations; measured BETTER reconstruction
+    # than the 200-inner parity contract at a fraction of its wall clock
+    # and the same PSNR as the round-4 25-inner budget at 20 and 100
+    # outers, RESULTS.md round-5 operating points). Same problem/tables.
     rec_cfg = dataclasses.replace(
         cfg.admm,
         relax_alpha=1.8,
         node=dataclasses.replace(
-            cfg.admm.node, max_inner=25, algorithm="fcv", check_every=25
+            cfg.admm.node, max_inner=15, algorithm="fcv", check_every=15
         ),
     )
     admm.run_admm(problem, dataclasses.replace(rec_cfg, max_iters=2))
@@ -132,6 +133,61 @@ def measure_tpu_throughput(N=256, P=8, timed_iters=20, dtype="float32",
             [psnr(xi, x_true, data_range=dr) for xi in x]
         ))
 
+    # Roofline datapoint in the headline artifact (VERDICT r4 #6): the
+    # projector apply pair's wall clock and achieved MXU fraction (flops
+    # from the kernels' CostEstimates via XLA cost analysis; v5e peak
+    # 197 TFLOP/s dense bf16 per the public scaling-book tables).
+    import functools
+
+    import jax.numpy as jnp
+    from dip_admm_tpu.data.loader import make_node_ops
+
+    geo = cfg.geometry
+    A_arg = problem.A
+    tbl = problem.fft_tables
+
+    def _pair(mode, geo, angles, valid, A, tables, x):
+        fwd, adj = make_node_ops(mode, geo, angles, valid, A, tables)
+        return adj(fwd(x))  # exactly one fwd + one adj
+
+    @functools.partial(jax.jit, static_argnames=("mode", "geo", "chain"))
+    def _chain_pair(mode, geo, chain, angles, valid, A, tables, x):
+        fwd, adj = make_node_ops(mode, geo, angles, valid, A, tables)
+        acc = jnp.float32(0.0)
+        for _ in range(chain):
+            g = adj(fwd(x + acc * 1e-20))
+            acc = acc + jnp.sum(g[..., :1].astype(jnp.float32))
+        return acc
+
+    roofline = {}
+    try:
+        x0 = jnp.asarray(np.asarray(res.x))
+        pair_args = (problem.mode, geo, problem.angles, problem.angle_valid,
+                     A_arg, tbl)
+        chain = 40
+        float(_chain_pair(pair_args[0], pair_args[1], chain, *pair_args[2:],
+                          x0))  # compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(_chain_pair(pair_args[0], pair_args[1], chain,
+                              *pair_args[2:], x0))
+            best = min(best, time.perf_counter() - t0)
+        pair_ms = best / chain * 1e3
+        c = (
+            jax.jit(_pair, static_argnames=("mode", "geo"))
+            .lower(*pair_args, x0).compile().cost_analysis()
+        )
+        flops_pair = float(c.get("flops", 0.0))
+        tfs = flops_pair / (pair_ms * 1e-3) / 1e12
+        roofline = {
+            "apply_pair_ms": round(pair_ms, 3),
+            "apply_pair_tflops": round(tfs, 2),
+            "mxu_pct_pair": round(100.0 * tfs * 1e12 / 197e12, 1),
+        }
+    except Exception as e:  # noqa: BLE001 - roofline is best-effort extra
+        roofline = {"roofline_error": f"{type(e).__name__}: {e}"}
+
     return {
         "iters_per_s": iters / elapsed,
         "elapsed_s": elapsed,
@@ -144,6 +200,7 @@ def measure_tpu_throughput(N=256, P=8, timed_iters=20, dtype="float32",
         "build_s": build_s,
         "backend": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
+        **roofline,
     }
 
 

@@ -139,6 +139,19 @@ class AdmmConfig:
     # >= 8 graph nodes, off otherwise (off-TPU the kernel would run in the
     # slow interpreter; below 8 nodes the XLA chain is already cheap).
     use_pallas: Optional[bool] = None
+    # Residual balancing (Boyd sec. 3.4.1): after each outer iteration,
+    # rho *= rho_tau when ||r|| > rho_mu*||s||, rho /= rho_tau when
+    # ||s|| > rho_mu*||r||, with the scaled duals Y rescaled by the inverse
+    # factor. The effective rho is carried in AdmmState as a multiplier of
+    # this config's rho, clamped to [1/rho_clamp, rho_clamp]. Off by
+    # default (reference parity — the reference runs fixed rho,
+    # block_6_admm_loop_ver2.py:19); the knob that classically attacks a
+    # stalled dual residual (BASELINE config 5's spectral-gap-limited
+    # consensus, RESULTS.md round-4 characterization).
+    adapt_rho: bool = False
+    rho_mu: float = 10.0
+    rho_tau: float = 2.0
+    rho_clamp: float = 64.0
     node: NodeSolverConfig = dataclasses.field(default_factory=NodeSolverConfig)
 
 

@@ -94,6 +94,11 @@ class AdmmState(NamedTuple):
     Y: jnp.ndarray  # [P_loc, P, n] scaled duals y_{(ij), i}
     k: jnp.ndarray  # outer iteration counter
     stop: jnp.ndarray  # convergence flag
+    # Effective rho as a MULTIPLIER of cfg.rho (residual balancing,
+    # cfg.adapt_rho). 1.0 when off — kept as a multiplier so old
+    # checkpoints (which lack the field) resume exactly, and the off path
+    # stays bit-identical (rho_k = cfg.rho, no scaling applied).
+    rho_scale: jnp.ndarray
 
 
 class NodeBlockData(NamedTuple):
@@ -131,6 +136,8 @@ HISTORY_FIELDS = (
     ("eps_target", False),
     ("eps_per_node", True),
     ("inner_iters", True),
+    # effective rho this iteration (constant cfg.rho unless adapt_rho)
+    ("rho", False),
 )
 
 
@@ -154,6 +161,8 @@ def grow_history(hist: dict, max_iters: int) -> dict:
         else:
             pad = jnp.full((max_iters - cur,) + v.shape[1:], jnp.nan, v.dtype)
             out[name] = jnp.concatenate([v, pad], axis=0)
+    # (Fields added after a checkpoint was written are backfilled by
+    # serialization._upgrade_history at load time.)
     return out
 
 
@@ -175,11 +184,37 @@ def admm_iteration(
     X, Z, Y = state.node.x, state.Z, state.Y
     am = data.adjm[:, :, None]
 
+    # Effective rho this iteration (residual balancing, cfg.adapt_rho).
+    # The off branch is STATIC python: rho_k is the config constant and no
+    # scaling ops enter the graph — bit-identical to fixed-rho builds.
+    if cfg.adapt_rho:
+        rho_k = cfg.rho * state.rho_scale
+    else:
+        rho_k = cfg.rho
+
     # --- neighbor terms for the node subproblems (ref ver2:85-95) ---
     V = Z - Y  # v_ij = z_ij - y_ij,i
     D_vec = comm.gather_pixels(jnp.sum(data.Q, axis=1))  # [P_loc, n]
     b_cons = comm.gather_pixels(jnp.sum(data.Q * V, axis=1))
     c_quad = comm.psum_pixel(jnp.sum(data.Q * V * V, axis=(1, 2)))
+
+    # Node-solve constants under a drifted rho: the Lipschitz bound gains
+    # (rho_k - rho0) * max_p D, and the fcv certified step scales by
+    # min(1, rho0/rho_k) — S(rho) = H_A/2 + rho D/2 + sigma K^T K satisfies
+    # lam_max(M^-1 S(rho)) <= lam_max(M^-1 S(rho0)) * max(1, rho/rho0)
+    # (the rho term is at most the whole of S(rho0) scaled), so the scaled
+    # step stays certified without re-running Lanczos in the loop.
+    L_k = data.L
+    fprecond_k = data.fprecond
+    if cfg.adapt_rho:
+        L_k = data.L + (rho_k - cfg.rho) * jnp.max(D_vec, axis=1)
+        if fprecond_k is not None:
+            fprecond_k = fprecond_k._replace(
+                step=fprecond_k.step
+                * jnp.minimum(1.0, cfg.rho / rho_k).astype(
+                    fprecond_k.step.dtype
+                )
+            )
 
     # --- inexact node solve with adaptive target (ref ver2:100-176) ---
     decay = (k.astype(X.dtype) + 1.0) ** (1.0 + cfg.node.gamma_decay)
@@ -198,9 +233,9 @@ def admm_iteration(
     )._replace(x=state.node.x)
     res = node_solver.solve_nodes(
         data.fwd, data.adj, data.b, D_vec, b_cons, c_quad,
-        cfg.lam_tv, cfg.rho, data.L, nstate, eps_k, cfg.node, data.N,
+        cfg.lam_tv, rho_k, L_k, nstate, eps_k, cfg.node, data.N,
         any_reduce=comm.any_reduce,
-        fprecond=data.fprecond,
+        fprecond=fprecond_k,
     )
     Xn = res.state.x
 
@@ -259,11 +294,11 @@ def admm_iteration(
         dz = (Zn - Z) * am
         dz2_part = jnp.sum(dz * dz, axis=(1, 2))
     r2 = comm.psum(jnp.sum(pri_part))
-    s2 = 0.5 * cfg.rho**2 * comm.psum(jnp.sum(dz2_part))
+    s2 = 0.5 * rho_k**2 * comm.psum(jnp.sum(dz2_part))
     # Per-node history values need the pixel-axis completion of the
     # partial sums (identity on the local / node-mesh paths).
     pri_node = comm.psum_pixel(pri_part)
-    dual_node = cfg.rho**2 * comm.psum_pixel(dz2_part)
+    dual_node = rho_k**2 * comm.psum_pixel(dz2_part)
     pri_norm = jnp.sqrt(r2)
     dual_norm = jnp.sqrt(s2)
 
@@ -297,6 +332,7 @@ def admm_iteration(
         # per-node iterations to first acceptance (check_every granularity;
         # reference per-node SCS counts, block_6_admm_loop_ver2.py:130-132)
         "inner_iters": res.inner_iters.astype(X.dtype),
+        "rho": jnp.asarray(rho_k, X.dtype),
     }
     hist = {
         name: arr.at[k].set(updates[name].astype(arr.dtype))
@@ -304,7 +340,28 @@ def admm_iteration(
     }
 
     stop = (pri_norm < cfg.eps_pri) & (dual_norm < cfg.eps_dual)
-    new_state = AdmmState(node=res.state, Z=Zn, Y=Yn, k=k + 1, stop=stop)
+
+    # --- residual balancing (Boyd sec. 3.4.1), AFTER this iteration's
+    # residuals: grow rho when primal dominates, shrink when dual does;
+    # the scaled duals Y absorb the inverse factor (y = lambda/rho).
+    # r2/s2 are psummed, so every shard computes the same factor.
+    rho_scale = state.rho_scale
+    if cfg.adapt_rho:
+        factor = jnp.where(
+            pri_norm > cfg.rho_mu * dual_norm, cfg.rho_tau,
+            jnp.where(
+                dual_norm > cfg.rho_mu * pri_norm, 1.0 / cfg.rho_tau, 1.0
+            ),
+        ).astype(rho_scale.dtype)
+        new_scale = jnp.clip(
+            rho_scale * factor, 1.0 / cfg.rho_clamp, cfg.rho_clamp
+        )
+        Yn = Yn * (rho_scale / new_scale)
+        rho_scale = new_scale
+
+    new_state = AdmmState(
+        node=res.state, Z=Zn, Y=Yn, k=k + 1, stop=stop, rho_scale=rho_scale
+    )
     return new_state, hist
 
 
@@ -355,6 +412,7 @@ def init_state(problem: Problem, cfg: AdmmConfig) -> tuple[AdmmState, dict]:
         Y=jnp.zeros((P, P, n), dtype),
         k=jnp.int32(0),
         stop=jnp.asarray(False),
+        rho_scale=jnp.asarray(1.0, dtype),
     )
     return state, make_history(cfg.max_iters, P, dtype)
 

@@ -81,18 +81,23 @@ def build_fourier_precond(
     rho: float,
     cfg: NodeSolverConfig,
     N: int,
-    n_power: int = 12,
+    n_lanczos: int = 25,
 ) -> FourierPrecond:
     """One-time setup for ``fcv``: per-node circulant symbol + safe steps.
 
     The symbol is ``m_hat = max(Re F[PSF], 0) + rho*mean(D) + delta`` with
     ``PSF = A^T A delta_center`` (one operator apply per run). The primal
-    step ``s`` is certified by a power method on ``M^-1 (H/2 + sigma K^T K)``
+    step ``s`` is certified by a Lanczos spectral-radius estimate of
+    ``M^-1 (H/2 + sigma K^T K)`` in the M inner product
     (H = A^T A + rho diag(D), K = TV gradient): the Condat-Vu metric
     condition ``T^-1 >= grad^2 f / 2 + K^T Sigma K`` holds with
     ``T = s M^-1`` iff ``s <= 1/lambda_max`` — the circulant only has to
-    *approximate* H for speed; the power bound keeps it convergent even
+    *approximate* H for speed; the spectral bound keeps it convergent even
     where it misfits (image boundary, masked pixels, fan-beam rebin).
+    Lanczos (eigh of the [n_lanczos]^2 tridiagonal, in-jit) resolves the
+    near-degenerate top cluster that made the round-4 power method creep
+    ~13% between 12 and 120 iterations and forced a 0.7 safety margin
+    (VERDICT r4 #2); the margin is now 0.95.
     """
     P, n = D_vec.shape
     dtype = D_vec.dtype
@@ -159,34 +164,67 @@ def build_fourier_precond(
         R = jnp.fft.rfft2(r.reshape(P, N, N))
         return jnp.fft.irfft2(R / m_hat, s=(N, N)).reshape(P, -1)
 
-    # Deterministic broadband start (seeded normal): power method on
-    # M^-1 S, Rayleigh quotient in the M inner product. The SAME start
-    # vector for every node — a [P, n] draw would make the certified step
-    # depend on how the node batch is sliced across shards (mesh parity).
-    v = jnp.broadcast_to(
-        jax.random.normal(jax.random.PRNGKey(0), (n,), dtype), (P, n)
+    def Mv_apply(v):
+        return jnp.fft.irfft2(
+            m_hat * jnp.fft.rfft2(v.reshape(P, N, N)), s=(N, N)
+        ).reshape(P, -1)
+
+    # Lanczos on G = M^-1 S in the M inner product (G is self-adjoint
+    # there since S and M are symmetric): three-term recurrence with
+    #   alpha_j = <G v_j, v_j>_M = v_j^T S v_j,
+    #   beta_j  = ||w||_M,  w = G v_j - alpha_j v_j - beta_{j-1} v_{j-1},
+    # then lambda_max(G) ~ the top Ritz value of the [k, k] tridiagonal
+    # (eigh in-jit; batched over nodes). Krylov top-eigenvalue convergence
+    # is quadratically faster than power iteration and handles clustered
+    # tops, where the round-4 power estimate stalled. Ritz values
+    # UNDERestimate lambda_max in exact arithmetic, so the margin below
+    # stays < 1. Deterministic shared start vector — a [P, n] draw would
+    # make the certified step depend on how the node batch is sliced
+    # across shards (mesh parity).
+    v0 = jnp.broadcast_to(
+        jax.random.normal(jax.random.PRNGKey(0), (n,), jnp.float32), (P, n)
     )
+    b0 = jnp.sqrt(jnp.maximum(jnp.sum(v0 * Mv_apply(v0), axis=1), 1e-30))
+    v = v0 / b0[:, None]
+    k = n_lanczos
 
-    def power_step(_, v):
-        w = Minv(S(v))
-        return w / jnp.maximum(
-            jnp.linalg.norm(w, axis=1, keepdims=True), 1e-30
+    def lanczos_step(carry, _):
+        v, v_prev, beta_prev = carry
+        Sv = S(v)
+        alpha = jnp.sum(v * Sv, axis=1)  # <G v, v>_M
+        w = Minv(Sv) - alpha[:, None] * v - beta_prev[:, None] * v_prev
+        beta = jnp.sqrt(jnp.maximum(jnp.sum(w * Mv_apply(w), axis=1), 0.0))
+        # Breakdown (beta ~ 0): the Krylov space is invariant — freeze the
+        # recurrence (v_next = 0 keeps subsequent alphas 0; the converged
+        # Ritz block is already in the tridiagonal).
+        safe = jnp.maximum(beta, 1e-30)
+        v_next = jnp.where(
+            (beta > 1e-12 * jnp.maximum(jnp.abs(alpha), 1.0))[:, None],
+            w / safe[:, None], 0.0,
         )
+        return (v_next, v, beta), (alpha, beta)
 
-    v = jax.lax.fori_loop(0, n_power, power_step, v)
-    num = jnp.sum(v * S(v), axis=1)
-    Mv = jnp.fft.irfft2(
-        m_hat * jnp.fft.rfft2(v.reshape(P, N, N)), s=(N, N)
-    ).reshape(P, -1)
-    den = jnp.maximum(jnp.sum(v * Mv, axis=1), 1e-30)
-    lam_max = num / den
-    # 0.7: the Rayleigh quotient UNDERestimates the spectral radius, and
-    # measured convergence of the power method on this operator is slow
-    # (near-degenerate top cluster: at 256^2 the estimate still crept up
-    # ~13% between 12 and 120 iterations). The margin absorbs that gap;
-    # the in-solve divergence monitor (halve + rollback on residual
-    # growth, solve_nodes fcv branch) guards the remaining tail.
-    step = (0.7 / jnp.maximum(lam_max, 1e-30)).astype(dtype)
+    (_, _, _), (alphas, betas) = jax.lax.scan(
+        lanczos_step, (v, jnp.zeros_like(v), jnp.zeros((P,), jnp.float32)),
+        None, length=k,
+    )  # alphas, betas: [k, P]
+    # Build the symmetric tridiagonal explicitly (diag + super/sub).
+    i = jnp.arange(k)
+    diag_mask = (i[:, None] == i[None, :]).astype(jnp.float32)
+    sup_mask = (i[:, None] + 1 == i[None, :]).astype(jnp.float32)
+    beta_pad = betas.T  # [P, k]; beta_j couples v_j and v_{j+1}
+    Tmat = (
+        alphas.T[:, :, None] * diag_mask[None]
+        + beta_pad[:, :, None] * sup_mask[None]
+        + beta_pad[:, None, :] * sup_mask.T[None]
+    )
+    lam_max = jnp.linalg.eigvalsh(Tmat)[:, -1]
+    # 0.95: Ritz values lower-bound the true spectral radius; 25 Lanczos
+    # steps resolve the top of this operator's near-degenerate cluster to
+    # well under 5% (certification test / bench_lanczos_cert.py), and the
+    # in-solve divergence monitor (halve + rollback on residual growth,
+    # solve_nodes fcv branch) guards the remaining tail.
+    step = (0.95 / jnp.maximum(lam_max, 1e-30)).astype(dtype)
     return FourierPrecond(m_hat=m_hat, step=step, sigma=sigma)
 
 

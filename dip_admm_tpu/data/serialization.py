@@ -189,6 +189,7 @@ def _checkpoint_payload(state: AdmmState, hist: dict) -> dict:
         "Y": np.asarray(state.Y),
         "k": np.asarray(state.k),
         "stop": np.asarray(state.stop),
+        "rho_scale": np.asarray(state.rho_scale),
         **{f"hist_{k}": np.asarray(v) for k, v in hist.items()},
     }
 
@@ -263,6 +264,9 @@ def load_checkpoint_orbax(path: str) -> tuple[AdmmState, dict]:
         Y=jnp.asarray(s["Y"]),
         k=jnp.asarray(s["k"]),
         stop=jnp.asarray(s["stop"]),
+        # Pre-adapt_rho checkpoints carry no multiplier: 1.0 resumes the
+        # fixed-rho trajectory exactly.
+        rho_scale=jnp.asarray(s.get("rho_scale", 1.0), nd["x"].dtype),
     )
     hist = {k: jnp.asarray(v) for k, v in payload["hist"].items()}
     return state, _upgrade_history(hist)
@@ -305,6 +309,10 @@ def load_checkpoint(path: str) -> tuple[AdmmState, dict]:
         Y=jnp.asarray(z["Y"]),
         k=jnp.asarray(z["k"]),
         stop=jnp.asarray(z["stop"]),
+        # Pre-adapt_rho checkpoints carry no multiplier: 1.0 resumes the
+        # fixed-rho trajectory exactly.
+        rho_scale=jnp.asarray(z["rho_scale"]) if "rho_scale" in z.files
+        else jnp.asarray(1.0, jnp.asarray(z["x"]).dtype),
     )
     hist = {
         k[len("hist_"):]: jnp.asarray(z[k])

@@ -197,7 +197,7 @@ def _run_sharded_jit(
         node=node_solver.NodeState(
             x=node, ux=node, uy=node, ua=node, xp=node, tk=node
         ),
-        Z=edge, Y=edge, k=repl, stop=repl,
+        Z=edge, Y=edge, k=repl, stop=repl, rho_scale=repl,
     )
     out_specs = AdmmResult(
         x=node, history=hist_specs, n_iters=repl, state=state_specs

@@ -35,7 +35,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eps-dual", type=float, default=1e-3)
     p.add_argument("--max-inner", type=int, default=None,
                    help="inner iteration budget per node solve (default 200 "
-                        "= the reference's SCS cap; 25 under --recommended)")
+                        "= the reference's SCS cap; 15 under --recommended)")
     p.add_argument("--algorithm",
                    choices=["cv", "fcv", "pcv", "ppdhg", "fista"],
                    default="cv",
@@ -52,8 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "(ref block_6 ver2:100-103)")
     p.add_argument("--check-every", type=int, default=None,
                    help="inner iterations between stationarity checks "
-                        "(default 10; 25 under --recommended — one check at "
-                        "the 25-inner cap, matching the measured recipe)")
+                        "(default 10; 15 under --recommended — one check at "
+                        "the 15-inner cap, matching the measured recipe)")
     p.add_argument("--plateau-tol", type=float, default=0.01,
                    help="early-exit when the stationarity residual stops "
                         "improving by this relative amount between checks "
@@ -68,14 +68,25 @@ def build_parser() -> argparse.ArgumentParser:
                    default="midpoint")
     p.add_argument("--relax-alpha", type=float, default=1.0,
                    help="ADMM over-relaxation factor (1.0 = reference)")
+    p.add_argument("--adapt-rho", action="store_true",
+                   help="residual balancing (Boyd sec. 3.4.1): rho grows/"
+                        "shrinks x--rho-tau when one residual dominates the "
+                        "other by x--rho-mu, duals rescaled; the classical "
+                        "fix for a stalled dual residual (e.g. the 32-node "
+                        "fan consensus regime)")
+    p.add_argument("--rho-mu", type=float, default=10.0,
+                   help="residual dominance ratio that triggers a rho step")
+    p.add_argument("--rho-tau", type=float, default=2.0,
+                   help="multiplicative rho step on trigger")
     p.add_argument("--recommended", action="store_true",
                    help="recommended operating point: circulant-metric "
                         "inner solver (fcv) + over-relaxation 1.8 + "
-                        "25-iteration inner budget (the Fourier "
-                        "preconditioner converges the node subproblems in "
-                        "~25 iterations; measured 25.9 outer it/s at "
-                        "+5.0 dB over the round-3 pcv point at 256^2/8, "
-                        "RESULTS.md round-4 operating points)")
+                        "15-iteration inner budget (with the round-5 "
+                        "Lanczos-certified step the preconditioner "
+                        "converges the node subproblems in ~15 iterations; "
+                        "measured 57.9 outer it/s at 256^2/8 and 11.2 at "
+                        "512^2/8 at the same PSNR as deeper budgets, "
+                        "RESULTS.md round-5 operating points)")
     p.add_argument("--noise", type=float, default=0.005)
     p.add_argument("--phantom", choices=["const", "rand", "shepp"],
                    default="const")
@@ -174,22 +185,23 @@ def config_from_args(args) -> "ProblemConfig":
     eps_rel = getattr(args, "eps_rel", None)
     check_every = getattr(args, "check_every", None)
     if getattr(args, "recommended", False):
-        # Measured best operating point (RESULTS.md round-4 operating
+        # Measured best operating point (RESULTS.md round-5 operating
         # points): circulant-metric CV (fcv) + over-relaxation 1.8 +
-        # 25-inner budget, checked once at the cap — the Fourier
-        # preconditioner converges the node subproblems in ~25 iterations,
-        # so deeper budgets and the eps_rel acceptance add nothing
-        # (256^2/8: 25.9 it/s at +5.0 dB over the round-3 pcv point;
-        # 512^2/8: 4.77 it/s at +8.7 dB). Explicit flags win over the
-        # preset (None = unset, so an explicit 0 sticks).
+        # 15-inner budget, checked once at the cap. The round-5
+        # Lanczos-certified step (margin 0.95 vs the power method's 0.7)
+        # converges the node subproblems in ~15 iterations at the same
+        # PSNR the round-4 25-inner budget reached (256^2/8: 57.9 it/s,
+        # 512^2/8: 11.2 it/s, both at identical PSNR to 25-inner at 20
+        # and 100 outers). Explicit flags win over the preset (None =
+        # unset, so an explicit 0 sticks).
         if relax_alpha == 1.0:
             relax_alpha = 1.8
         if algorithm == "cv":
             algorithm = "fcv"
         if max_inner is None:
-            max_inner = 25
+            max_inner = 15
         if check_every is None:
-            check_every = 25
+            check_every = 15
     if max_inner is None:
         max_inner = 200  # the reference's SCS per-solve cap
     if eps_rel is None:
@@ -209,6 +221,9 @@ def config_from_args(args) -> "ProblemConfig":
             eps_pri=args.eps_pri, eps_dual=args.eps_dual,
             z_fusion=args.z_fusion,
             relax_alpha=relax_alpha,
+            adapt_rho=getattr(args, "adapt_rho", False),
+            rho_mu=getattr(args, "rho_mu", 10.0),
+            rho_tau=getattr(args, "rho_tau", 2.0),
             use_pallas=getattr(args, "use_pallas", None),
             node=NodeSolverConfig(
                 max_inner=max_inner,

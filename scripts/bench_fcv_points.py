@@ -32,6 +32,13 @@ POINTS = {
     "fcv50":             dict(alg="fcv", mi=50, ra=1.0, er=0.0),
     "fcv25-relax-recr4": dict(alg="fcv", mi=25, ra=1.8, er=0.0),
     "fcv200-epsrel":     dict(alg="fcv", mi=200, ra=1.8, er=0.005),
+    # Round-5 probes below the 25-inner floor: the Lanczos-certified step
+    # (margin 0.95 vs the power method's 0.7, ~1.36x larger) should buy
+    # equal PSNR at a smaller budget (VERDICT r4 #2).
+    "fcv20-relax":       dict(alg="fcv", mi=20, ra=1.8, er=0.0),
+    "fcv15-relax":       dict(alg="fcv", mi=15, ra=1.8, er=0.0),
+    "fcv12-relax":       dict(alg="fcv", mi=12, ra=1.8, er=0.0),
+    "fcv10-relax":       dict(alg="fcv", mi=10, ra=1.8, er=0.0),
 }
 
 
@@ -55,7 +62,7 @@ def main(names, N=256, P=8, outers=20, reps=2):
             cfg.admm, relax_alpha=pt["ra"],
             node=dataclasses.replace(
                 cfg.admm.node, algorithm=pt["alg"], max_inner=pt["mi"],
-                eps_rel=pt["er"],
+                eps_rel=pt["er"], check_every=min(25, pt["mi"]),
             ),
         )
         jax.block_until_ready(

@@ -258,3 +258,61 @@ def test_fcv_quality_parity_and_fewer_inner_iters():
     assert abs(results["fcv"]["psnr"] - results["cv"]["psnr"]) < 0.5
     assert results["fcv"]["primal"] <= 1.2 * results["cv"]["primal"] + 1e-3
     assert results["fcv"]["inner"] <= 0.7 * results["cv"]["inner"]
+
+
+def test_adapt_rho_balances_residuals_and_resumes_exactly():
+    """Residual balancing (cfg.adapt_rho, Boyd sec. 3.4.1 / VERDICT r4 #3):
+    with a deliberately too-small rho the primal residual dominates, so the
+    multiplier must GROW, the effective rho history must move, the run must
+    still converge — and the state/hist resume contract must stay exact
+    (rho_scale rides in AdmmState)."""
+    cfg = small_cfg(adapt_rho=True, rho_mu=2.0)
+    cfg = dataclasses.replace(
+        cfg, admm=dataclasses.replace(cfg.admm, rho=0.05)
+    )
+    problem = loader.build_problem(cfg)
+    res = admm.run_admm(problem)
+    rho_hist = np.asarray(res.history["rho"])[: int(res.n_iters)]
+    assert np.nanmax(rho_hist) > 0.05 * 1.9, rho_hist  # grew at least once
+    assert not np.isnan(rho_hist).any()
+    # Clamp respected.
+    assert np.nanmax(rho_hist) <= 0.05 * cfg.admm.rho_clamp + 1e-6
+    # Still converges to a sane reconstruction.
+    x = np.asarray(res.x)
+    assert np.isfinite(x).all()
+
+    # Exact resume through the multiplier: split the run at iteration 10.
+    part = admm.run_admm(problem, until=10)
+    resumed = admm.run_admm(
+        problem, problem.cfg.admm, state=part.state, hist=part.history
+    )
+    np.testing.assert_array_equal(np.asarray(resumed.x), np.asarray(res.x))
+    np.testing.assert_array_equal(
+        np.asarray(resumed.history["rho"]), np.asarray(res.history["rho"])
+    )
+
+
+def test_adapt_rho_off_matches_default_exactly():
+    """adapt_rho=False must be BIT-identical to a build without the feature
+    (the off branch is static python: no scaling ops enter the graph)."""
+    cfg = small_cfg()
+    problem = loader.build_problem(cfg)
+    ref = admm.run_admm(problem)
+    cfg2 = small_cfg(adapt_rho=False)
+    res = admm.run_admm(loader.build_problem(cfg2))
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
+    rho_hist = np.asarray(res.history["rho"])[: int(res.n_iters)]
+    np.testing.assert_array_equal(rho_hist, np.full_like(rho_hist, 2.0))
+
+
+def test_adapt_rho_shrinks_on_dual_dominance():
+    """With a too-LARGE rho the dual residual dominates and the multiplier
+    must shrink below 1."""
+    cfg = small_cfg(adapt_rho=True, rho_mu=2.0)
+    cfg = dataclasses.replace(
+        cfg, admm=dataclasses.replace(cfg.admm, rho=200.0)
+    )
+    problem = loader.build_problem(cfg)
+    res = admm.run_admm(problem)
+    rho_hist = np.asarray(res.history["rho"])[: int(res.n_iters)]
+    assert np.nanmin(rho_hist) < 200.0 / 1.9, rho_hist

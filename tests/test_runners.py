@@ -170,18 +170,19 @@ def test_cli_centralized_solvers(tmp_path, capsys):
 
 
 def test_recommended_preset_sets_operating_point():
-    """--recommended = fcv + relax 1.8 + 25-inner budget (RESULTS.md round-4
+    """--recommended = fcv + relax 1.8 + 15-inner budget (RESULTS.md round-5
     operating points); explicit flags always win over the preset."""
     from dip_admm_tpu.runners import cli
 
-    # Round-4 preset: circulant-metric inner solver + relax 1.8 + 25-inner
-    # budget, checked once at the cap (RESULTS.md round-4 operating points).
+    # Round-5 preset: circulant-metric inner solver + relax 1.8 + 15-inner
+    # budget, checked once at the cap (the Lanczos-certified step converges
+    # the node solves in ~15 iterations at the round-4 25-inner PSNR).
     cfg = cli.config_from_args(cli.build_parser().parse_args(
         ["--N", "16", "--nodes", "2", "--recommended"]))
     assert cfg.admm.node.algorithm == "fcv"
     assert cfg.admm.relax_alpha == 1.8
-    assert cfg.admm.node.max_inner == 25
-    assert cfg.admm.node.check_every == 25
+    assert cfg.admm.node.max_inner == 15
+    assert cfg.admm.node.check_every == 15
     assert cfg.admm.node.eps_rel == 0.0
 
     cfg = cli.config_from_args(cli.build_parser().parse_args(

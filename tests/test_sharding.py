@@ -364,10 +364,15 @@ def test_sharded_fcv_parity():
     np.testing.assert_allclose(
         np.asarray(got.x), np.asarray(ref.x), rtol=2e-4, atol=2e-4
     )
+    # rtol 5e-3: the Lanczos step certificate runs per shard, and XLA's
+    # rfft2 gives very slightly different roundoff for batch 4 vs 1 —
+    # the 25-step three-term recurrence amplifies that into ~1e-6 step
+    # differences, visible at the g_norm floor (the 12-step power method
+    # sat below 2e-3 by luck).
     for name in ("primal", "dual", "g_norm", "inner_iters"):
         np.testing.assert_allclose(
             np.asarray(got.history[name]), np.asarray(ref.history[name]),
-            rtol=2e-3, atol=1e-5, err_msg=name,
+            rtol=5e-3, atol=1e-5, err_msg=name,
         )
 
 
@@ -495,4 +500,32 @@ def test_run_admm_auto_mesh_matches():
     for name, v in ref.history.items():
         np.testing.assert_array_equal(
             np.asarray(got.history[name]), np.asarray(v), err_msg=name
+        )
+
+
+def test_sharded_adapt_rho_parity():
+    """Residual balancing on the node mesh: the balancing factor derives
+    from psummed residuals, so every shard adapts in lockstep and the
+    sharded trajectory (including the rho history and Y rescaling) matches
+    the single-device one."""
+    problem = make_problem(P=4)
+    cfg = dataclasses.replace(
+        problem.cfg.admm, adapt_rho=True, rho_mu=1.5, rho=0.2
+    )
+    ref = admm.run_admm(problem, cfg)
+    got = admm_sharded.run_admm_sharded(
+        problem, cfg, mesh=meshlib.make_mesh(4)
+    )
+    rho_ref = np.asarray(ref.history["rho"])
+    assert np.nanmax(rho_ref) > 0.2  # the balancing actually fired
+    np.testing.assert_allclose(
+        np.asarray(got.history["rho"]), rho_ref, rtol=0, atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x), rtol=2e-4, atol=2e-4
+    )
+    for name in ("primal", "dual"):
+        np.testing.assert_allclose(
+            np.asarray(got.history[name]), np.asarray(ref.history[name]),
+            rtol=2e-3, atol=1e-5, err_msg=name,
         )
