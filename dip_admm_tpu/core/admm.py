@@ -136,6 +136,11 @@ HISTORY_FIELDS = (
     ("eps_target", False),
     ("eps_per_node", True),
     ("inner_iters", True),
+    # per-node acceptance code: 0 = accepted at eps_k, 1 = plateau exit,
+    # 2 = budget exhausted (the reference's accept/tighten/retry
+    # accounting, block_6_admm_loop_ver2.py:155-176 — see
+    # node_solver.NodeSolveResult.accept_code)
+    ("accept_code", True),
     # effective rho this iteration (constant cfg.rho unless adapt_rho)
     ("rho", False),
 )
@@ -332,6 +337,7 @@ def admm_iteration(
         # per-node iterations to first acceptance (check_every granularity;
         # reference per-node SCS counts, block_6_admm_loop_ver2.py:130-132)
         "inner_iters": res.inner_iters.astype(X.dtype),
+        "accept_code": res.accept_code.astype(X.dtype),
         "rho": jnp.asarray(rho_k, X.dtype),
     }
     hist = {

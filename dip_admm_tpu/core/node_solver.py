@@ -239,6 +239,14 @@ class NodeSolveResult(NamedTuple):
     # lanes to the slowest node).
     inner_iters: jnp.ndarray
     trip_count: jnp.ndarray  # scalar: iterations the batched solve executed
+    # [P] acceptance code — the auditable analogue of the reference ver2's
+    # per-node accept/tighten(/5)/retry accounting
+    # (block_6_admm_loop_ver2.py:155-176): 0 = accepted at the eps_k
+    # target, 1 = exited on the plateau heuristic before the budget
+    # (the residual floor SCS also stops at), 2 = ran the full inner
+    # budget without meeting the target (the reference's "accepted at
+    # relaxed tolerance after retries" terminal case).
+    accept_code: jnp.ndarray = None
 
 
 def init_state(P: int, N: int, m: int, dtype=jnp.float32) -> NodeState:
@@ -530,4 +538,9 @@ def solve_nodes(
         + c_quad
     )
     objective = data_term + tv_term + quad
-    return NodeSolveResult(st, g_norm, objective, inner_per_node, k_used)
+    accept_code = jnp.where(
+        acc >= 0, 0, jnp.where(k_used < cfg.max_inner, 1, 2)
+    ).astype(jnp.int32)
+    return NodeSolveResult(
+        st, g_norm, objective, inner_per_node, k_used, accept_code
+    )

@@ -332,6 +332,10 @@ def build_fft_tables(cfg: ProblemConfig, angles, valid, mode: str = "fft",
         if mode == "fft_grouped":
             return radon_fan.precompute_fan_grouped(geo, angles, valid, tdt)
         if mode in ("fft_shear", "fft_skew"):
+            if row_block is not None:
+                return radon_fan.precompute_fan_skew(
+                    geo, angles, valid, tdt, nb=row_block
+                )
             return radon_fan.precompute_fan_skew(geo, angles, valid, tdt)
         pre = lambda a, v: radon_fan.precompute_fan(geo, a, v, table_dtype=tdt)
     elif mode == "fft_mxu":

@@ -999,16 +999,35 @@ def skew_sum_planes_t(gre_b, gim_b, WtT, SEre, SEim, DreT, DimT, plane,
     )
 
 
+@custom_batching.custom_vmap
 def skew_sum_planes_t_rows(gre_b, gim_b, WtT, SEre, SEim, DreT, DimT, plane,
-                           pfirst, row_width):
+                           pfirst, rowmark):
     """Row-sharded variant of :func:`skew_sum_planes_t`: ``WtT``/``SE``
-    carry only this shard's row blocks while ``row_width`` stays the full
-    image width — output [P, 2, NB_loc*nb, row_width]. (No custom_vmap:
-    the sharded runtime never scenario-batches.)"""
+    carry only this shard's row blocks while the raw row width stays the
+    full image width — output [P, 2, NB_loc*nb, row_width]. ``rowmark`` is
+    any array whose LAST dim is the full image row width (it only carries
+    the static width through vmap, like ``blkmark`` in
+    :func:`shear_sum_t`) — the fan path vmaps this over nodes against the
+    single shared parallel-stage table set."""
     return _skew_t_pallas_planes(
         gre_b, gim_b, WtT, SEre, SEim, DreT, DimT, plane, pfirst,
-        interpret=_interp(), row_width=row_width,
+        interpret=_interp(), row_width=rowmark.shape[-1],
     )
+
+
+@skew_sum_planes_t_rows.def_vmap
+def _skew_sum_planes_t_rows_vmap(axis_size, in_batched, gre_b, gim_b,
+                                 *tabs_mark):
+    _check_unbatched(in_batched, 2, "skew_sum_planes_t_rows")
+    gre_f, gim_f = _fold_batch([gre_b, gim_b], axis_size)
+    tabs, rowmark = tabs_mark[:-1], tabs_mark[-1]
+    out = _skew_t_pallas_planes(
+        gre_f, gim_f, *tabs, interpret=_interp(),
+        row_width=rowmark.shape[-1],
+    )
+    return out.reshape(
+        (axis_size, out.shape[0] // axis_size) + out.shape[1:]
+    ), True
 
 
 @skew_sum_planes_t.def_vmap

@@ -941,7 +941,7 @@ def backproject_nodes_skew(cfg: GeometryConfig, sinos, tables):
 
 
 def project_nodes_skew_rowshard(cfg: GeometryConfig, imgs, tables,
-                                axis_name: str):
+                                axis_name: str, n_rows=None):
     """Pixel-axis COMPUTE sharding of the skew projector (VERDICT r3 #4):
     each shard of a mesh axis ``axis_name`` applies only ITS row blocks of
     the factored tables (``Wt``/``SEre``/``SEim`` pre-sliced along the NB
@@ -956,7 +956,7 @@ def project_nodes_skew_rowshard(cfg: GeometryConfig, imgs, tables,
 
     t = tables
     sh = t["shared"]
-    T = max(cfg.angles_per_node())
+    T = max(cfg.angles_per_node()) if n_rows is None else n_rows
     dtype = imgs.dtype
     NB_loc, nb = t["WtT"].shape[1], t["WtT"].shape[-1]
     imgs = imgs.astype(jnp.float32)
@@ -994,7 +994,8 @@ def backproject_nodes_skew_rowshard(cfg: GeometryConfig, sinos, tables,
     )
     rows2_bar_loc = skew_sum_planes_t_rows(
         g_re_bar, g_im_bar, t["WtT"], t["SEre"], t["SEim"],
-        sh["DreT"], sh["DimT"], t["plane"], t["pfirst"], row_width=N,
+        sh["DreT"], sh["DimT"], t["plane"], t["pfirst"],
+        jnp.zeros((1, N), jnp.float32),  # rowmark: full image row width
     )  # [P, 2, NB_loc*nb, N]
     vis = t["pvisited"][:, :, None, None]
     rows2_bar_loc = jnp.where(vis > 0, rows2_bar_loc, 0.0)

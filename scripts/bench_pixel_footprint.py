@@ -57,9 +57,15 @@ def measure(problem, dn, dp):
 def main():
     print(f"{'config':34s} {'layout':10s} {'devices':>7s} "
           f"{'edge/dev MB':>11s} {'tables/dev MB':>13s}")
-    for (P, N, rb) in ((32, 64, None), (4, 256, 64)):
+    for (P, N, rb, fan) in (
+        (32, 64, None, False), (4, 256, 64, False), (4, 64, 16, True),
+    ):
         cfg = ProblemConfig(
-            geometry=GeometryConfig(N=N, num_nodes=P),
+            geometry=GeometryConfig(
+                N=N, num_nodes=P, fan_beam=fan,
+                **(dict(angles_total=8 * P, det_width_factor=2.0)
+                   if fan else {}),
+            ),
             graph=GraphConfig(strategy="knn", k=2, seed=123),
             admm=AdmmConfig(
                 # Footprints come from shard SIZES; one outer with a 2-inner
@@ -70,11 +76,17 @@ def main():
             ),
             phantom="shepp",
         )
-        mode = "fft_skew" if N > 64 else None
+        mode = "fft_skew" if (N > 64 or fan) else None
         problem = loader.build_problem(cfg, mode=mode, row_block=rb)
-        tbl_keys = ("Wt", "SEre", "SEim") if problem.fft_tables else ()
+        # Fan: the row tables are node-SHARED (one rebinned parallel set
+        # under shared.par — they divide only along the pixel axis).
+        row_tables = (
+            problem.fft_tables["shared"]["par"] if fan and problem.fft_tables
+            else problem.fft_tables
+        )
+        tbl_keys = ("Wt", "WtT", "SEre", "SEim") if problem.fft_tables else ()
         tbl_total = sum(
-            problem.fft_tables[k].nbytes for k in tbl_keys
+            row_tables[k].nbytes for k in tbl_keys
         ) if tbl_keys else 0
         layouts = (
             [(8, 1), (4, 2), (2, 4)] if P >= 8 else [(4, 1), (4, 2), (2, 4)]
@@ -86,13 +98,30 @@ def main():
             assert np.isfinite(np.asarray(res.x)).all()
             # Tables: replicated over pixel axis unless the pixel-compute
             # path engages (fft_skew, NB % dp == 0) — then they shard.
-            NB = (problem.fft_tables["Wt"].shape[1]
-                  if tbl_keys else 1)
+            NB = (row_tables["WtT"].shape[1] if tbl_keys else 1)
             pc = (dp > 1 and mode == "fft_skew" and NB % dp == 0)
-            tbl_dev = tbl_total / dn / (dp if pc else 1)
-            tag = f"P={P} N={N}" + (" (pixel-compute)" if pc else "")
+            tbl_dev = tbl_total / (dn if not fan else 1) / (dp if pc else 1)
+            tag = (f"P={P} N={N}" + (" fan" if fan else "")
+                   + (" (pixel-compute)" if pc else ""))
             print(f"{tag:34s} {dn}x{dp:<8d} {dn*dp:>7d} "
                   f"{edge/1e6:>11.1f} {tbl_dev/1e6:>13.1f}", flush=True)
+    # BASELINE config 5 (32-node 512^2 fan) per-device rows, analytic from
+    # the measured shapes (a full 512^2 fan build is minutes of exact
+    # column-norm work — unaffordable in CPU interpret mode; shapes match
+    # the measured small-fan row above): edge state 3*P^2*n f32 divides by
+    # the whole mesh; the SHARED parallel row tables (P_tbl=1, NB=4)
+    # divide along the pixel axis only.
+    P5, N5 = 32, 512
+    n5 = N5 * N5
+    edge5 = 3 * P5 * P5 * n5 * 4
+    NB5, Tp5, D25, nb5 = N5 // 128, (8 * P5) // 2, 144, 128
+    F5 = (1 << int(np.ceil(np.log2(2.5 * N5 + 8)))) // 2 + 1
+    tbl5 = NB5 * Tp5 * (2 * D25 * nb5 + 2 * F5) * 2  # Wt+WtT+SE pair, bf16
+    for dn5, dp5 in ((8, 1), (8, 4), (4, 8)):
+        print(f"config5 P={P5} N={N5} fan (analytic) {dn5}x{dp5:<3d} "
+              f"{dn5*dp5:>5d} dev: edge {edge5/(dn5*dp5)/1e9:6.2f} GB/dev, "
+              f"row tables {tbl5/dp5/1e6:6.1f} MB/dev", flush=True)
+
     # 16-GB budget extrapolation: the infeasible-without-pixel class.
     P, N = 4, 4096
     n = N * N
