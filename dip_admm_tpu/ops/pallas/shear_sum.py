@@ -329,67 +329,78 @@ def _eval_r_kernel(gre_ref, gim_ref, ere_ref, eim_ref, phre_ref, phim_ref,
     one XLA batched einsum outside — measured 18% faster than the in-kernel
     VPU broadcast-multiply-reduce (which paid a full Wd upcast per cell;
     an in-kernel MXU cast is impossible: Mosaic tpu.dot has no batch dims,
-    and a block-diagonal-R restructure costs tt x the FLOPs)."""
+    and a block-diagonal-R restructure costs tt x the FLOPs).
+    The detector-block axis is FOLDED into the cell (r5, VERDICT r4 #7):
+    this stage is latency-bound (<2% MXU), so DB-fewer grid cells and a
+    single g read per angle block beat the finer grid."""
     gre = gre_ref[0]  # [tt, F] f32 (slot order)
     gim = gim_ref[0]
-    ere = ere_ref[0, 0]  # [tt, F]
-    eim = eim_ref[0, 0]
-    A = gre * ere - gim * eim
-    B = gre * eim + gim * ere
-    if phre_ref.dtype == jnp.bfloat16:
+    DB, tt, F = ere_ref.shape[1:]
+    lowp = phre_ref.dtype == jnp.bfloat16
+    dn = (((1,), (1,)), ((), ()))  # contract f
+    # One [DB*tt, F] x [F, D2p] dot pair per cell instead of DB [tt, F]
+    # dots: tt=32 rows quarter-fill the 128-row MXU; stacking the
+    # detector blocks' phase products fills it.
+    ere = ere_ref[0].reshape(DB * tt, F)
+    eim = eim_ref[0].reshape(DB * tt, F)
+    gre_t = jnp.concatenate([gre] * DB, axis=0)  # [DB*tt, F]
+    gim_t = jnp.concatenate([gim] * DB, axis=0)
+    A = gre_t * ere - gim_t * eim
+    B = gre_t * eim + gim_t * ere
+    if lowp:
         A = A.astype(jnp.bfloat16)
         B = B.astype(jnp.bfloat16)
-    dn = (((1,), (1,)), ((), ()))  # contract f
-    r_ref[0, 0] = jax.lax.dot_general(
+    R = jax.lax.dot_general(
         A, phre_ref[...], dn, preferred_element_type=jnp.float32
     ) - jax.lax.dot_general(
         B, phim_ref[...], dn, preferred_element_type=jnp.float32
-    )  # [tt, D2p]
+    )  # [DB*tt, D2p]
+    r_ref[0] = R.reshape(DB, tt, -1)
 
 
-def _eval_t_kernel(ob_ref, wd_ref, ere_ref, eim_ref, phre_ref, phim_ref,
+def _eval_t_kernel(rbar_ref, ere_ref, eim_ref, phre_ref, phim_ref,
                    gre_ref, gim_ref):
-    """Transpose of the eval tail, Wd matvec IN-kernel: an XLA einsum
-    pre-contraction (mirroring the forward's split) measured SLOWER here
-    (1.37 vs 1.27 ms at 512^2 — the R_bar round-trip costs more than the
-    in-kernel upcast saves on this side)."""
-    dblk = pl.program_id(1)
-    Wd = wd_ref[0, 0]  # [tt, D2p, db]
-    ob = ob_ref[0]  # [tt, db] cotangents (slot order)
-    W32 = Wd.astype(jnp.float32)
-    R = jnp.sum(W32 * ob[:, None, :], axis=2)  # [tt, D2p]
-    if phre_ref.dtype == jnp.bfloat16:
+    """Transpose of the eval tail from the PRE-contracted cotangent
+    R_bar = sum_d Wd * ob (an XLA einsum outside — the round-4 in-kernel
+    Wd matvec cannot fold the detector blocks into the cell without
+    blowing VMEM at D2p ~ 192, and the r5 folded grid + one batched
+    [DB*tt, D2p] x [D2p, F] MXU dot pair beats the fine grid's DB small
+    M=tt dots). Each output block is written exactly once; the per-b
+    phase accumulate runs in registers."""
+    DB, tt = ere_ref.shape[1:3]
+    lowp = phre_ref.dtype == jnp.bfloat16
+    R = rbar_ref[0].reshape(DB * tt, -1)  # [DB*tt, D2p] f32
+    if lowp:
         R = R.astype(jnp.bfloat16)
     A_bar = jnp.dot(R, phre_ref[...], preferred_element_type=jnp.float32)
     B_bar = -jnp.dot(R, phim_ref[...], preferred_element_type=jnp.float32)
-    ere = ere_ref[0, 0]
-    eim = eim_ref[0, 0]
-    gre = A_bar * ere + B_bar * eim
-    gim = -A_bar * eim + B_bar * ere
+    acc_re = jnp.zeros_like(gre_ref[0])  # [tt, F]
+    acc_im = jnp.zeros_like(acc_re)
+    for b in range(DB):
+        Ab = A_bar[b * tt:(b + 1) * tt]
+        Bb = B_bar[b * tt:(b + 1) * tt]
+        ere = ere_ref[0, b]
+        eim = eim_ref[0, b]
+        acc_re += Ab * ere + Bb * eim
+        acc_im += -Ab * eim + Bb * ere
+    gre_ref[0] = acc_re
+    gim_ref[0] = acc_im
 
-    @pl.when(dblk == 0)
-    def _():
-        gre_ref[0] = jnp.zeros_like(gre_ref[0])
-        gim_ref[0] = jnp.zeros_like(gim_ref[0])
 
-    gre_ref[0] += gre
-    gim_ref[0] += gim
-
-
-def _eval_specs(P, TB, tt, D2p, F):
+def _eval_specs(P, TB, tt, DB, D2p, F):
     g_spec = pl.BlockSpec(
-        (1, tt, F), lambda q, b: (q // TB, q % TB, 0),
+        (1, tt, F), lambda q: (q // TB, q % TB, 0),
         memory_space=pltpu.VMEM,
     )
     e_spec = pl.BlockSpec(
-        (1, 1, tt, F), lambda q, b: ((q // TB) % P, b, q % TB, 0),
+        (1, DB, tt, F), lambda q: ((q // TB) % P, 0, q % TB, 0),
         memory_space=pltpu.VMEM,
     )
     phi_spec = pl.BlockSpec(
-        (D2p, F), lambda q, b: (0, 0), memory_space=pltpu.VMEM
+        (D2p, F), lambda q: (0, 0), memory_space=pltpu.VMEM
     )
     r_spec = pl.BlockSpec(
-        (1, 1, tt, D2p), lambda q, b: (q // TB, b, q % TB, 0),
+        (1, DB, tt, D2p), lambda q: (q // TB, 0, q % TB, 0),
         memory_space=pltpu.VMEM,
     )
     return g_spec, e_spec, phi_spec, r_spec
@@ -412,10 +423,10 @@ def _eval_fwd_pallas(gre, gim, Wd, TEre, TEim, PhiDre, PhiDim,
     F = gre.shape[-1]
     tt = _eval_tt(Tp)
     TB = Tp // tt
-    g_spec, e_spec, phi_spec, r_spec = _eval_specs(P, TB, tt, D2p, F)
+    g_spec, e_spec, phi_spec, r_spec = _eval_specs(P, TB, tt, DB, D2p, F)
     R = pl.pallas_call(
         _eval_r_kernel,
-        grid=(PB * TB, DB),
+        grid=(PB * TB,),
         in_specs=[g_spec, g_spec, e_spec, e_spec, phi_spec, phi_spec],
         out_specs=r_spec,
         out_shape=jax.ShapeDtypeStruct((PB, DB, Tp, D2p), jnp.float32),
@@ -442,20 +453,20 @@ def _eval_t_pallas(ob, Wd, TEre, TEim, PhiDre, PhiDim, interpret=False):
     F = TEre.shape[-1]
     tt = _eval_tt(Tp)
     TB = Tp // tt
-    g_spec, e_spec, phi_spec, r_spec = _eval_specs(P, TB, tt, D2p, F)
-    wd_spec = pl.BlockSpec(
-        (1, 1, tt, D2p, db),
-        lambda q, b: ((q // TB) % P, b, q % TB, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    o_spec = pl.BlockSpec(
-        (1, tt, db), lambda q, b: (q // TB, q % TB, b),
-        memory_space=pltpu.VMEM,
-    )
+    g_spec, e_spec, phi_spec, r_spec = _eval_specs(P, TB, tt, DB, D2p, F)
+    # XLA pre-contraction of the Wd matvec: R_bar [PB, DB, Tp, D2p] is
+    # tiny, and keeping Wd out of the kernel is what lets the folded grid
+    # fit VMEM (Wd's [DB, tt, D2p, db] block alone is ~6 MB at 512^2).
+    # Scenario batching folds B into the node axis (PB = B * P).
+    obb = ob.reshape(PB // P, P, Tp, DB, db)
+    Rbar = jnp.einsum(
+        "kptbd,pbtzd->kpbtz", obb, Wd.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).reshape(PB, DB, Tp, D2p)
     return pl.pallas_call(
         _eval_t_kernel,
-        grid=(PB * TB, DB),  # detector blocks innermost: accumulation axis
-        in_specs=[o_spec, wd_spec, e_spec, e_spec, phi_spec, phi_spec],
+        grid=(PB * TB,),  # detector blocks folded into the cell (r5)
+        in_specs=[r_spec, e_spec, e_spec, phi_spec, phi_spec],
         out_specs=(g_spec, g_spec),
         out_shape=(
             jax.ShapeDtypeStruct((PB, Tp, F), jnp.float32),
@@ -463,7 +474,7 @@ def _eval_t_pallas(ob, Wd, TEre, TEim, PhiDre, PhiDim, interpret=False):
         ),
         cost_estimate=_eval_cost(PB, Tp, DB, D2p, db, F, Wd),
         interpret=interpret,
-    )(ob, Wd, TEre, TEim, PhiDre.astype(Wd.dtype), PhiDim.astype(Wd.dtype))
+    )(Rbar, TEre, TEim, PhiDre.astype(Wd.dtype), PhiDim.astype(Wd.dtype))
 
 
 def _eval_tt(Tp: int) -> int:

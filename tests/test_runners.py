@@ -247,3 +247,27 @@ def test_cli_save_and_load_problem(tmp_path, capsys):
     out_b = json.loads(capsys.readouterr().out)
     assert out_b["knn"]["final_primal"] == out_a["knn"]["final_primal"]
     assert out_b["knn"]["mean_psnr"] == out_a["knn"]["mean_psnr"]
+
+
+def test_bench_scaling_virtual_smoke():
+    """The hardware-ready scaling script (VERDICT r4 #8) must run its full
+    layout sweep — node mesh + node x pixel leg — unmodified on the virtual
+    mesh, so the first real-hardware round spends zero time on plumbing.
+    Subprocess: the script pins its own jax platform config."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "bench_scaling.py"),
+         "--virtual", "--N", "16", "--nodes", "4", "--outers", "2",
+         "--reps", "1", "--row-block", "8", "--mode", "fft_skew"],
+        capture_output=True, text=True, env=env, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "(4, 2)" in out.stdout  # the node x pixel leg was swept
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith(("1x", "2x", "4x"))]
+    assert len(lines) == 4, out.stdout
