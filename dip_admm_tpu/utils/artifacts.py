@@ -244,6 +244,30 @@ def save_history_artifacts(
             os.path.join(out_dir, f"{tag}_img_mse_total.png"),
         )
 
+    # Round-5 observability: per-node inner iterations + acceptance codes
+    # (the auditable accept/tighten/retry record, ref ver2:155-176) and the
+    # effective-rho trajectory (plotted only when it actually moves —
+    # residual balancing, AdmmConfig.adapt_rho).
+    if "inner_iters" in h:
+        saveit("inner_iters_per_node", h["inner_iters"])
+    if "accept_code" in h:
+        saveit("accept_code_per_node", h["accept_code"])
+    if "rho" in h:
+        rho = saveit("rho_hist", h["rho"])
+        finite = rho[np.isfinite(rho)]
+        if finite.size and (finite.max() - finite.min()) > 1e-12:
+            plt.figure(figsize=(6, 4))
+            plt.semilogy(rho)
+            plt.xlabel("iteration")
+            plt.ylabel(r"effective $\rho$")
+            plt.title(f"Adaptive rho trajectory, {tag}")
+            plt.grid(True, which="both")
+            plt.tight_layout()
+            p = os.path.join(out_dir, f"{tag}_rho_hist.png")
+            plt.savefig(p, dpi=160)
+            plt.close()
+            written.append(p)
+
     return written
 
 

@@ -44,6 +44,8 @@ def test_run_one_strategy_artifacts(tmp_path):
         "knn_k1_obj_per_node.npy", "knn_k1_pri_per_node.png",
         "knn_k1_sino_mse_per_node.npy", "knn_k1_img_mse_total.npy",
         "knn_k1_g_norm_per_node.png",
+        "knn_k1_inner_iters_per_node.npy", "knn_k1_accept_code_per_node.npy",
+        "knn_k1_rho_hist.npy",
         "pixel_union_graph_knn_k1.png", "pixel_union_degree_knn_k1.png",
     ):
         assert want in files, f"missing artifact {want}"
