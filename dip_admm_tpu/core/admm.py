@@ -236,6 +236,16 @@ def admm_iteration(
     nstate = state.node if cfg.node.warm_start else node_solver.init_state(
         P_loc, data.N, data.b.shape[1], X.dtype
     )._replace(x=state.node.x)
+    if cfg.adapt_rho and fprecond_k is not None:
+        # The fcv solver folds min(tk, certified step) into the warm-carried
+        # tk, so a rho-scaled (smaller) step would RATCHET: after a high-rho
+        # excursion the carried tk stays small even when rho returns to
+        # baseline. Reset tk to the fresh sentinel each outer iteration —
+        # the current iteration's scaled certified step applies cleanly, and
+        # the in-solve divergence monitor still protects within the solve.
+        nstate = nstate._replace(
+            tk=jnp.full_like(nstate.tk, jnp.inf)
+        )
     res = node_solver.solve_nodes(
         data.fwd, data.adj, data.b, D_vec, b_cons, c_quad,
         cfg.lam_tv, rho_k, L_k, nstate, eps_k, cfg.node, data.N,

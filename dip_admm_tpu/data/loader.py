@@ -332,11 +332,15 @@ def build_fft_tables(cfg: ProblemConfig, angles, valid, mode: str = "fft",
         if mode == "fft_grouped":
             return radon_fan.precompute_fan_grouped(geo, angles, valid, tdt)
         if mode in ("fft_shear", "fft_skew"):
-            if row_block is not None:
-                return radon_fan.precompute_fan_skew(
-                    geo, angles, valid, tdt, nb=row_block
-                )
-            return radon_fan.precompute_fan_skew(geo, angles, valid, tdt)
+            tabs = radon_fan.precompute_fan_skew(
+                geo, angles, valid, tdt,
+                **(dict(nb=row_block) if row_block is not None else {}),
+            )
+            # The fan path only runs the SKEW kernels (d-major taps);
+            # drop the unused t-major alias — it is the dominant table
+            # (~2x tap HBM otherwise).
+            tabs["shared"]["par"].pop("Wt", None)
+            return tabs
         pre = lambda a, v: radon_fan.precompute_fan(geo, a, v, table_dtype=tdt)
     elif mode == "fft_mxu":
         from dip_admm_tpu.ops import radon_fft
@@ -349,11 +353,16 @@ def build_fft_tables(cfg: ProblemConfig, angles, valid, mode: str = "fft",
     elif mode in ("fft_shear", "fft_skew"):
         from dip_admm_tpu.ops import radon_fft
 
-        if row_block is not None:
-            return radon_fft.precompute_shear(
-                geo, angles, valid, tdt, nb=row_block
-            )
-        return radon_fft.precompute_shear(geo, angles, valid, tdt)
+        tabs = radon_fft.precompute_shear(
+            geo, angles, valid, tdt,
+            **(dict(nb=row_block) if row_block is not None else {}),
+        )
+        # Each mode consumes exactly one tap layout (spectra path: t-major
+        # Wt; skew path: d-major WtT) — drop the other, the dominant table
+        # (~2x tap HBM otherwise). Direct precompute_shear callers (tests,
+        # stage benches) still get both.
+        tabs.pop("WtT" if mode == "fft_shear" else "Wt", None)
+        return tabs
     elif mode == "fft_pallas":
         from dip_admm_tpu.ops import radon_fft
 

@@ -134,6 +134,17 @@ def save_problem(problem: Problem, path: str, include_tables: bool = True) -> No
     )
 
 
+def _backfill_tap_layout(tables: dict) -> None:
+    """Problem bundles saved before round 5 carry only the t-major tap
+    table ``Wt``; the skew kernels now read the d-major ``WtT``. Derive it
+    in place (both the parallel-beam top level and the fan ``shared.par``
+    nesting). Only called for mode="fft_skew" bundles — fft_shear bundles
+    keep their t-major-only layout."""
+    for t in (tables, tables.get("shared", {}).get("par")):
+        if isinstance(t, dict) and "Wt" in t and "WtT" not in t:
+            t["WtT"] = jnp.transpose(t["Wt"], (0, 1, 3, 2, 4))
+
+
 def load_problem(path: str) -> Problem:
     z = np.load(path)
     cfg = _cfg_from_json(bytes(z["__cfg__"]).decode())
@@ -152,6 +163,8 @@ def load_problem(path: str) -> Problem:
                 )
         if flat:
             fft_tables = _unflatten_tables(flat)
+            if mode == "fft_skew":
+                _backfill_tap_layout(fft_tables)
         else:
             # Problem saved without tables: rebuild the derived state.
             from dip_admm_tpu.data.loader import build_fft_tables

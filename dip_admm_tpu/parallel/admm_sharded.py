@@ -233,14 +233,16 @@ def _run_sharded_jit(
         tables_spec["shared"] = dict(tables_spec["shared"])
         tables_spec["shared"]["par"] = dict(tables_spec["shared"]["par"])
         for key in ("Wt", "WtT", "SEre", "SEim"):
-            tables_spec["shared"]["par"][key] = PS(None, PIXEL_AXIS)
+            if key in tables_spec["shared"]["par"]:
+                tables_spec["shared"]["par"][key] = PS(None, PIXEL_AXIS)
     elif pixel_compute:
         # Row-stage tables additionally shard along their NB row-block axis
         # (dim 1) — each pixel shard holds only its row blocks, dividing
         # both the tap-matmul FLOPs and the table HBM by dp.
         tables_spec = dict(tables_spec)
         for key in ("Wt", "WtT", "SEre", "SEim"):
-            tables_spec[key] = PS(NODE_AXIS, PIXEL_AXIS)
+            if key in tables_spec:
+                tables_spec[key] = PS(NODE_AXIS, PIXEL_AXIS)
     in_specs = (
         node, node, node, tables_spec, node, edge, node, node, repl, node,
         repl, state_specs, hist_specs, repl,

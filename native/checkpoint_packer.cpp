@@ -454,8 +454,11 @@ void cp_set_zip64_threshold(unsigned long long t) {
 
 // Test hook: shrink the per-call crc32 chunk so the chunked-CRC loop (the
 // >4 GiB correctness path) runs over small members too. 0 restores 1 GiB.
+// Clamped below 2^32: a larger chunk would reintroduce the (uInt) length
+// truncation this mechanism exists to prevent.
 void cp_set_crc_chunk(unsigned long long n) {
-  g_crc_chunk.store(n ? n : (1ull << 30));
+  if (n == 0 || n > (1ull << 30)) n = 1ull << 30;
+  g_crc_chunk.store(n);
 }
 
 }  // extern "C"

@@ -84,7 +84,11 @@ def main():
             problem.fft_tables["shared"]["par"] if fan and problem.fft_tables
             else problem.fft_tables
         )
-        tbl_keys = ("Wt", "WtT", "SEre", "SEim") if problem.fft_tables else ()
+        tbl_keys = tuple(
+            k for k in ("Wt", "WtT", "SEre", "SEim")
+            if problem.fft_tables and isinstance(row_tables, dict)
+            and k in row_tables
+        )
         tbl_total = sum(
             row_tables[k].nbytes for k in tbl_keys
         ) if tbl_keys else 0
@@ -116,7 +120,7 @@ def main():
     edge5 = 3 * P5 * P5 * n5 * 4
     NB5, Tp5, D25, nb5 = N5 // 128, (8 * P5) // 2, 144, 128
     F5 = (1 << int(np.ceil(np.log2(2.5 * N5 + 8)))) // 2 + 1
-    tbl5 = NB5 * Tp5 * (2 * D25 * nb5 + 2 * F5) * 2  # Wt+WtT+SE pair, bf16
+    tbl5 = NB5 * Tp5 * (D25 * nb5 + 2 * F5) * 2  # WtT + SE pair, bf16
     for dn5, dp5 in ((8, 1), (8, 4), (4, 8)):
         print(f"config5 P={P5} N={N5} fan (analytic) {dn5}x{dp5:<3d} "
               f"{dn5*dp5:>5d} dev: edge {edge5/(dn5*dp5)/1e9:6.2f} GB/dev, "

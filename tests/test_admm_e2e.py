@@ -382,3 +382,42 @@ def test_accept_code_accounting():
     res2 = admm.run_admm(loader.build_problem(cfg2))
     codes2 = np.asarray(res2.history["accept_code"])[:3]
     assert (codes2 == 2).all(), codes2
+
+
+def test_adapt_rho_fcv_step_does_not_ratchet():
+    """Under adapt_rho + fcv the rho-scaled certified step must NOT ratchet
+    into the warm-carried tk (code-review r5): after an iteration at a
+    32x rho excursion, a following iteration back at baseline rho must run
+    with the FULL certified step again, not the excursion's step/32."""
+    import jax.numpy as jnp
+
+    from dip_admm_tpu.core import node_solver
+
+    cfg0 = small_cfg(adapt_rho=True)
+    cfg0 = dataclasses.replace(
+        cfg0, admm=dataclasses.replace(
+            cfg0.admm,
+            node=dataclasses.replace(cfg0.admm.node, algorithm="fcv"),
+        ),
+    )
+    problem = loader.build_problem(cfg0)
+    acfg = problem.cfg.admm
+    data = admm._block_data(problem, acfg, problem.b.dtype)
+    state, hist = admm.init_state(problem, acfg)
+
+    # Iteration at a 32x rho excursion: the scaled certified step is
+    # step/32, which the solver min()'s into the carried tk.
+    st_hi = state._replace(rho_scale=jnp.asarray(32.0, jnp.float32))
+    st1, hist = admm.admm_iteration(data, acfg, admm.LOCAL_COMM, st_hi, hist)
+    assert float(jnp.max(st1.node.tk)) <= float(
+        jnp.max(data.fprecond.step) / 16.0
+    )
+
+    # Back at baseline rho: the next solve must see the full certified
+    # step again (tk reset to the fresh sentinel before the solve), so the
+    # carried tk after the iteration is ~step, not ~step/32.
+    st1 = st1._replace(rho_scale=jnp.asarray(1.0, jnp.float32))
+    st2, hist = admm.admm_iteration(data, acfg, admm.LOCAL_COMM, st1, hist)
+    assert float(jnp.min(st2.node.tk)) >= 0.4 * float(
+        jnp.min(data.fprecond.step)
+    ), (st2.node.tk, data.fprecond.step)

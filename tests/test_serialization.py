@@ -390,3 +390,27 @@ def test_batched_scenarios_fcv():
     np.testing.assert_allclose(
         np.asarray(res.x[0]), np.asarray(single.x), rtol=1e-4, atol=1e-4
     )
+
+
+def test_pre_r5_bundle_backfills_wtt(tmp_path):
+    """Problem bundles saved before round 5 carry only the t-major tap
+    table Wt; the skew kernels now read the d-major WtT. load_problem must
+    derive it (code-review r5 finding: a KeyError otherwise)."""
+    import jax.numpy as jnp
+
+    cfg = _cfg(max_iters=4)
+    problem = loader.build_problem(cfg, mode="fft_skew")
+    path = str(tmp_path / "old_bundle.npz")
+    # Simulate a pre-r5 bundle: re-save with WtT stripped and Wt present
+    # (round-5 skew tables drop Wt, so re-add the t-major layout).
+    tables = dict(problem.fft_tables)
+    tables["Wt"] = jnp.transpose(tables.pop("WtT"), (0, 1, 3, 2, 4))
+    old = dataclasses.replace(problem, fft_tables=tables)
+    serialization.save_problem(old, path)
+    loaded = serialization.load_problem(path)
+    assert "WtT" in loaded.fft_tables
+    x = jnp.ones((problem.num_nodes, problem.n), problem.b.dtype)
+    np.testing.assert_allclose(
+        np.asarray(problem.forward(x)), np.asarray(loaded.forward(x)),
+        rtol=1e-6, atol=1e-6,
+    )

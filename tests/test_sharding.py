@@ -435,7 +435,7 @@ def test_pixel_compute_rowshard_parity():
     )
     # row_block=8 -> NB=2 row blocks, shardable over 2 pixel devices.
     problem = loader.build_problem(cfg, mode="fft_skew", row_block=8)
-    assert problem.fft_tables["Wt"].shape[1] == 2
+    assert problem.fft_tables["WtT"].shape[1] == 2
     ref = admm.run_admm(problem)
 
     calls = {"n": 0}
