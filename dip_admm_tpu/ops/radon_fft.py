@@ -665,15 +665,17 @@ def precompute_shear(
         return sigma, p, s, use_r
 
     sigma, p, s, use_r = jax.jit(jax.vmap(one))(a32)
-    # tt=32 angle blocks: the kernel chunks its [tt*D2, F] matmul temp over
-    # f in VMEM, so large blocks are free — and the slot-spectrum
-    # materialization (the [P, TB, N, F] onehot gather, the dominant
-    # overhead at 512^2) shrinks with TB = Tp/tt.
+    # Large angle blocks: the kernel chunks its [tt*D2, F] matmul temp over
+    # f in VMEM, so large blocks are cheap — fewer grid cells amortize the
+    # per-cell block-copy latency, and the slot-spectrum materialization
+    # shrinks with TB = Tp/tt. tt=48 measured fastest at 256^2 AND 512^2
+    # (r5 sweep: 256^2 fwd 0.79 vs 0.84 ms at the old pick, 512^2 1.67 vs
+    # 1.73; tt >= 64 fails to compile at 512^2 — VMEM).
     # One combined device->host fetch: through the socket relay each
     # transfer serializes behind queued work and can stall for seconds.
     use_r_np, valid_np = jax.device_get((use_r, valid))
     plan = filter_mxu.plan_branch_groups(
-        ~use_r_np, valid_np, tt_candidates=(32, 16, 8)
+        ~use_r_np, valid_np, tt_candidates=(48, 32, 16, 8)
     )
     Tp = int(plan["Tp"])
 
