@@ -127,3 +127,38 @@ def test_skew_scenario_batching_matches_per_run():
         np.testing.assert_allclose(
             np.asarray(res.x[i]), np.asarray(single.x), rtol=2e-4, atol=2e-4
         )
+
+
+def test_loader_keeps_one_tap_layout_per_mode():
+    """Each projector mode carries exactly ONE tap-table layout (r5 review:
+    both aliases would double the dominant table HBM): fft_skew keeps the
+    d-major WtT, fft_shear the t-major Wt; the fan shared.par subtree is
+    skew-only."""
+    import dataclasses
+
+    from dip_admm_tpu.config import (
+        AdmmConfig, GeometryConfig, GraphConfig, NodeSolverConfig,
+        ProblemConfig,
+    )
+    from dip_admm_tpu.data import loader
+
+    cfg = ProblemConfig(
+        geometry=GeometryConfig(N=16, num_nodes=3, angles_total=18),
+        graph=GraphConfig(strategy="knn", k=1, seed=123),
+        admm=AdmmConfig(max_iters=1,
+                        node=NodeSolverConfig(max_inner=2, check_every=2)),
+        phantom="const",
+    )
+    skew = loader.build_problem(cfg, mode="fft_skew").fft_tables
+    assert "WtT" in skew and "Wt" not in skew
+    shear = loader.build_problem(cfg, mode="fft_shear").fft_tables
+    assert "Wt" in shear and "WtT" not in shear
+    fan_cfg = dataclasses.replace(
+        cfg, geometry=dataclasses.replace(
+            cfg.geometry, fan_beam=True, angles_total=24,
+            det_width_factor=2.0,
+        ),
+    )
+    fan = loader.build_problem(fan_cfg, mode="fft_skew").fft_tables
+    par = fan["shared"]["par"]
+    assert "WtT" in par and "Wt" not in par
