@@ -152,6 +152,19 @@ class AdmmConfig:
     rho_mu: float = 10.0
     rho_tau: float = 2.0
     rho_clamp: float = 64.0
+    # Adaptation policy. "balance" = the classical residual-ratio scheme
+    # above. "stall" = quality-signal variant (RESULTS.md round-5 config-5
+    # study): in the spectral-gap-limited many-node regime the DUAL residual
+    # dominates, so balancing can only LOWER rho — yet the measured quality
+    # lever there is HIGH rho (static rho=20 bought +4 dB). "stall" instead
+    # raises rho by rho_tau whenever the primal residual has failed to
+    # improve by rho_stall_tol (relative) over the last rho_stall_window
+    # outer iterations (checked at that cadence, never lowered) — the
+    # primal plateau is the observable signature of consensus diffusion
+    # stalling, and unlike an image-MSE trend it needs no oracle phantom.
+    adapt_rho_mode: str = "balance"  # "balance" | "stall"
+    rho_stall_window: int = 10
+    rho_stall_tol: float = 0.02
     node: NodeSolverConfig = dataclasses.field(default_factory=NodeSolverConfig)
 
 

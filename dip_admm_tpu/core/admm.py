@@ -363,12 +363,34 @@ def admm_iteration(
     # r2/s2 are psummed, so every shard computes the same factor.
     rho_scale = state.rho_scale
     if cfg.adapt_rho:
-        factor = jnp.where(
-            pri_norm > cfg.rho_mu * dual_norm, cfg.rho_tau,
-            jnp.where(
-                dual_norm > cfg.rho_mu * pri_norm, 1.0 / cfg.rho_tau, 1.0
-            ),
-        ).astype(rho_scale.dtype)
+        if cfg.adapt_rho_mode == "stall":
+            # Quality-signal policy: raise rho when the primal residual has
+            # plateaued over the last ``rho_stall_window`` outers (checked
+            # at that cadence; never lowered). The primal slot at k was
+            # written above, and the k-w row is live history on every path
+            # (local, sharded — the slot is psummed, hence replicated), so
+            # no extra loop-carry state is needed and checkpoints resume
+            # exactly through the carried history.
+            w = cfg.rho_stall_window
+            due = ((k + 1) % w == 0) & (k + 1 >= 2 * w)
+            prev = hist["primal"][jnp.maximum(k - w, 0)].astype(
+                pri_norm.dtype
+            )
+            stalled = pri_norm > (1.0 - cfg.rho_stall_tol) * prev
+            factor = jnp.where(due & stalled, cfg.rho_tau, 1.0).astype(
+                rho_scale.dtype
+            )
+        elif cfg.adapt_rho_mode == "balance":
+            factor = jnp.where(
+                pri_norm > cfg.rho_mu * dual_norm, cfg.rho_tau,
+                jnp.where(
+                    dual_norm > cfg.rho_mu * pri_norm, 1.0 / cfg.rho_tau, 1.0
+                ),
+            ).astype(rho_scale.dtype)
+        else:
+            raise ValueError(
+                "adapt_rho_mode must be 'balance' or 'stall'"
+            )
         new_scale = jnp.clip(
             rho_scale * factor, 1.0 / cfg.rho_clamp, cfg.rho_clamp
         )

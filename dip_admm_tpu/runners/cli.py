@@ -78,6 +78,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="residual dominance ratio that triggers a rho step")
     p.add_argument("--rho-tau", type=float, default=2.0,
                    help="multiplicative rho step on trigger")
+    p.add_argument("--rho-mode", choices=["balance", "stall"],
+                   default="balance",
+                   help="adapt-rho policy: balance = classical residual "
+                        "ratio; stall = raise rho x--rho-tau whenever the "
+                        "primal residual fails to improve by "
+                        "--rho-stall-tol over --rho-stall-window outers "
+                        "(the quality-signal variant for the many-node fan "
+                        "regime, where the dual dominates and balancing "
+                        "can only lower rho — RESULTS.md config-5 study)")
+    p.add_argument("--rho-stall-window", type=int, default=10)
+    p.add_argument("--rho-stall-tol", type=float, default=0.02)
     p.add_argument("--recommended", action="store_true",
                    help="recommended operating point: circulant-metric "
                         "inner solver (fcv) + over-relaxation 1.8 + "
@@ -224,6 +235,9 @@ def config_from_args(args) -> "ProblemConfig":
             adapt_rho=getattr(args, "adapt_rho", False),
             rho_mu=getattr(args, "rho_mu", 10.0),
             rho_tau=getattr(args, "rho_tau", 2.0),
+            adapt_rho_mode=getattr(args, "rho_mode", "balance"),
+            rho_stall_window=getattr(args, "rho_stall_window", 10),
+            rho_stall_tol=getattr(args, "rho_stall_tol", 0.02),
             use_pallas=getattr(args, "use_pallas", None),
             node=NodeSolverConfig(
                 max_inner=max_inner,

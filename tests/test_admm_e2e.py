@@ -318,6 +318,56 @@ def test_adapt_rho_shrinks_on_dual_dominance():
     assert np.nanmin(rho_hist) < 200.0 / 1.9, rho_hist
 
 
+def test_adapt_rho_stall_raises_on_plateau_and_resumes_exactly():
+    """Quality-signal policy (adapt_rho_mode="stall", NEXT r5 #6): with a
+    zero improvement threshold the primal residual "stalls" at every
+    window check, so rho must step up by rho_tau at each
+    rho_stall_window cadence point (k+1 in {2w, 3w, ...}), never down —
+    and the state/hist resume contract must stay exact (the policy reads
+    the carried primal history, not new loop state)."""
+    w = 5
+    cfg = small_cfg(
+        adapt_rho=True, adapt_rho_mode="stall", rho_stall_window=w,
+        rho_stall_tol=2.0,  # threshold (1-tol)*prev < 0 <= pri: always stalled
+        rho_tau=2.0,
+    )
+    problem = loader.build_problem(cfg)
+    res = admm.run_admm(problem)
+    n_it = int(res.n_iters)
+    rho_hist = np.asarray(res.history["rho"])[:n_it]
+    # Steps at k+1 = 10, 15, 20, 25, 30 -> rho doubles AFTER those iters
+    # (the history row records the rho applied THAT iteration).
+    assert rho_hist[9] == pytest.approx(2.0)  # still baseline at k=9
+    assert rho_hist[10] == pytest.approx(4.0)
+    assert rho_hist[15] == pytest.approx(8.0)
+    # Monotone non-decreasing: stall mode never lowers rho.
+    assert (np.diff(rho_hist) >= -1e-12).all()
+    assert np.isfinite(np.asarray(res.x)).all()
+
+    # Exact resume mid-window: the k-w history row must survive the split.
+    part = admm.run_admm(problem, until=12)
+    resumed = admm.run_admm(
+        problem, problem.cfg.admm, state=part.state, hist=part.history
+    )
+    np.testing.assert_array_equal(np.asarray(resumed.x), np.asarray(res.x))
+    np.testing.assert_array_equal(
+        np.asarray(resumed.history["rho"]), np.asarray(res.history["rho"])
+    )
+
+
+def test_adapt_rho_stall_no_step_when_improving():
+    """With a threshold far above any reachable residual growth
+    (stalled iff pri > 11*prev), stall mode must leave rho untouched."""
+    cfg = small_cfg(
+        adapt_rho=True, adapt_rho_mode="stall", rho_stall_window=5,
+        rho_stall_tol=-10.0,  # stalled only if primal GROWS 11x per window
+    )
+    problem = loader.build_problem(cfg)
+    res = admm.run_admm(problem)
+    rho_hist = np.asarray(res.history["rho"])[: int(res.n_iters)]
+    np.testing.assert_array_equal(rho_hist, np.full_like(rho_hist, 2.0))
+
+
 def test_harmonic_qmode_e2e_converges():
     """End-to-end convergence under q_mode="harmonic" (the reference ver1
     default, block_7_main_ver1.py:41-51) with TV on — closes the round-4
