@@ -531,6 +531,31 @@ def test_sharded_adapt_rho_parity():
         )
 
 
+def test_sharded_adapt_rho_stall_parity():
+    """Stall-mode rho adaptation on the node mesh: the policy reads the
+    scalar primal-history slot, which is written from psummed residuals
+    and therefore replicated — every shard must step rho in lockstep and
+    match the single-device trajectory exactly."""
+    problem = make_problem(P=4)
+    cfg = dataclasses.replace(
+        problem.cfg.admm, adapt_rho=True, adapt_rho_mode="stall",
+        rho_stall_window=3, rho_stall_tol=2.0,  # always stalled: forced steps
+        max_iters=10,  # first check fires at k+1 = 2*window = 6
+    )
+    ref = admm.run_admm(problem, cfg)
+    got = admm_sharded.run_admm_sharded(
+        problem, cfg, mesh=meshlib.make_mesh(4)
+    )
+    rho_ref = np.asarray(ref.history["rho"])
+    assert np.nanmax(rho_ref) > cfg.rho  # the stall steps actually fired
+    np.testing.assert_allclose(
+        np.asarray(got.history["rho"]), rho_ref, rtol=0, atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x), rtol=2e-4, atol=2e-4
+    )
+
+
 def test_pixel_compute_rowshard_fan_parity():
     """Fan-beam pixel-COMPUTE sharding (VERDICT r4 #4): the fan path rides
     the same row-sharded skew kernels through its shared parallel stage
