@@ -61,8 +61,25 @@ def main():
             rho=2.0, adapt_rho=True, adapt_rho_mode="stall",
             rho_stall_window=20,
         ),
+        # Early-and-bounded variants: the first sweep showed the policy
+        # finds high rho but too LATE (rho reaches 16 only by outer 100
+        # with w=10) and overshoots to the clamp; quality at 200 outers
+        # stayed ~12.2 dB vs static-20's 14.09. High rho pays at the
+        # START of the consensus diffusion — probe a faster cadence with
+        # a bounded multiplier ceiling.
+        "stall w=5 clamp=10": dict(
+            rho=2.0, adapt_rho=True, adapt_rho_mode="stall",
+            rho_stall_window=5, rho_clamp=10.0,
+        ),
+        "stall w=5 clamp=16": dict(
+            rho=2.0, adapt_rho=True, adapt_rho_mode="stall",
+            rho_stall_window=5, rho_clamp=16.0,
+        ),
     }
+    only = sys.argv[2] if len(sys.argv) > 2 else ""
     for name, kw in runs.items():
+        if only and only not in name:
+            continue
         acfg = dataclasses.replace(cfg.admm, **kw)
         t0 = time.perf_counter()
         res = admm.run_admm_auto(problem, acfg)
