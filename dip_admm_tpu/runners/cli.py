@@ -71,9 +71,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--adapt-rho", action="store_true",
                    help="residual balancing (Boyd sec. 3.4.1): rho grows/"
                         "shrinks x--rho-tau when one residual dominates the "
-                        "other by x--rho-mu, duals rescaled; the classical "
-                        "fix for a stalled dual residual (e.g. the 32-node "
-                        "fan consensus regime)")
+                        "other by x--rho-mu, duals rescaled. Measured "
+                        "many-node fan recipe (RESULTS.md config-5 study): "
+                        "START HIGH and let balancing trim — '--rho 20 "
+                        "--adapt-rho --rho-mu 2' matched-or-beat static "
+                        "rho=20; no policy recovers a low start post hoc")
     p.add_argument("--rho-mu", type=float, default=10.0,
                    help="residual dominance ratio that triggers a rho step")
     p.add_argument("--rho-tau", type=float, default=2.0,
